@@ -1,0 +1,702 @@
+"""Pure-Python tiled pyramidal TIFF reader/writer.
+
+First-party replacement for the reference's third-party slide I/O stack
+(OpenSlide reads at ``reference DigiPathAI/loaders/dataloader.py:239,357``,
+``tifffile.imsave`` + ImageMagick ``convert ... ptif:`` writes at
+``reference DigiPathAI/Segmentation.py:333-352``).  This module is the
+portable reference implementation; ``digipathai_tpu.io.native`` provides a
+C++/libtiff fast path with the same interface.
+
+Supported on read: classic + BigTIFF, tiled + stripped layout, uncompressed /
+deflate / LZW (with horizontal predictor) / JPEG (incl. abbreviated streams
+with a shared JPEGTables tag), 8-bit grayscale & RGB(A), 32-bit float.
+Supported on write: tiled pyramids, deflate / JPEG / raw, uint8 gray & RGB and
+float32 gray, streamed from arbitrarily large (memmap) sources.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import os
+import struct
+import threading
+import zlib
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# --- TIFF constants -----------------------------------------------------------
+
+II = b"II"  # little endian
+MM = b"MM"  # big endian
+
+TAG_IMAGE_WIDTH = 256
+TAG_IMAGE_LENGTH = 257
+TAG_BITS_PER_SAMPLE = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_IMAGE_DESCRIPTION = 270
+TAG_STRIP_OFFSETS = 273
+TAG_SAMPLES_PER_PIXEL = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_BYTE_COUNTS = 279
+TAG_X_RESOLUTION = 282
+TAG_Y_RESOLUTION = 283
+TAG_PLANAR_CONFIG = 284
+TAG_RESOLUTION_UNIT = 296
+TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
+TAG_SAMPLE_FORMAT = 339
+TAG_JPEG_TABLES = 347
+
+COMPRESSION_NONE = 1
+COMPRESSION_LZW = 5
+COMPRESSION_JPEG = 7
+COMPRESSION_DEFLATE_ADOBE = 8
+COMPRESSION_DEFLATE = 32946
+
+PHOTOMETRIC_MINISWHITE = 0
+PHOTOMETRIC_MINISBLACK = 1
+PHOTOMETRIC_RGB = 2
+PHOTOMETRIC_PALETTE = 3
+PHOTOMETRIC_YCBCR = 6
+
+SAMPLEFORMAT_UINT = 1
+SAMPLEFORMAT_INT = 2
+SAMPLEFORMAT_FLOAT = 3
+
+# field type -> (struct char, size)
+_TYPE_INFO = {
+    1: ("B", 1),   # BYTE
+    2: ("s", 1),   # ASCII
+    3: ("H", 2),   # SHORT
+    4: ("I", 4),   # LONG
+    5: ("II", 8),  # RATIONAL (2x LONG)
+    6: ("b", 1),   # SBYTE
+    7: ("B", 1),   # UNDEFINED
+    8: ("h", 2),   # SSHORT
+    9: ("i", 4),   # SLONG
+    10: ("ii", 8),  # SRATIONAL
+    11: ("f", 4),  # FLOAT
+    12: ("d", 8),  # DOUBLE
+    13: ("I", 4),  # IFD
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8
+    18: ("Q", 8),  # IFD8
+}
+
+
+# --- LZW (TIFF flavor) --------------------------------------------------------
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Decode TIFF-flavor LZW (MSB-first bit packing, early code-size change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: List[bytes] = []
+
+    def reset_table():
+        nonlocal table
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+
+    reset_table()
+    bits, acc, nacc = 9, 0, 0
+    prev: Optional[bytes] = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nacc += 8
+        while nacc >= bits:
+            code = (acc >> (nacc - bits)) & ((1 << bits) - 1)
+            nacc -= bits
+            if code == CLEAR:
+                reset_table()
+                bits = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # TIFF uses "early change": bump width one code early.
+            if len(table) + 1 >= (1 << bits) and bits < 12:
+                bits += 1
+    return bytes(out)
+
+
+def _undo_horizontal_predictor(arr: np.ndarray) -> np.ndarray:
+    # arr: (rows, cols, samples) uint8 view of one decoded tile/strip
+    return np.cumsum(arr.astype(np.uint16), axis=1).astype(np.uint8)
+
+
+# --- Reader -------------------------------------------------------------------
+
+
+@dataclass
+class TiffPage:
+    """Metadata for one IFD (= one pyramid level in our files)."""
+
+    width: int
+    height: int
+    bits: int = 8
+    compression: int = COMPRESSION_NONE
+    photometric: int = PHOTOMETRIC_MINISBLACK
+    samples: int = 1
+    sample_format: int = SAMPLEFORMAT_UINT
+    predictor: int = 1
+    tile_width: int = 0
+    tile_height: int = 0
+    tile_offsets: Sequence[int] = field(default_factory=list)
+    tile_counts: Sequence[int] = field(default_factory=list)
+    rows_per_strip: int = 0
+    strip_offsets: Sequence[int] = field(default_factory=list)
+    strip_counts: Sequence[int] = field(default_factory=list)
+    jpeg_tables: Optional[bytes] = None
+    description: str = ""
+
+    @property
+    def is_tiled(self) -> bool:
+        return self.tile_width > 0
+
+    @property
+    def dtype(self) -> np.dtype:
+        if self.sample_format == SAMPLEFORMAT_FLOAT:
+            return np.dtype("<f4") if self.bits == 32 else np.dtype("<f8")
+        if self.bits == 8:
+            return np.dtype(np.uint8)
+        if self.bits == 16:
+            return np.dtype("<u2")
+        if self.bits == 32:
+            return np.dtype("<u4")
+        raise ValueError(f"unsupported bits per sample: {self.bits}")
+
+    @property
+    def tiles_across(self) -> int:
+        return (self.width + self.tile_width - 1) // self.tile_width
+
+    @property
+    def tiles_down(self) -> int:
+        return (self.height + self.tile_height - 1) // self.tile_height
+
+
+class TiffReader:
+    """Random-access reader for (pyramidal) TIFF files.
+
+    Thread safe: region reads use ``os.pread`` (no shared file-position
+    state), so the host patch loader can fan out across threads.
+    """
+
+    def __init__(self, path: str, tile_cache_size: int = 64):
+        self.path = str(path)
+        self._fd = os.open(self.path, os.O_RDONLY)
+        self._cache_lock = threading.Lock()
+        self._tile_cache: "OrderedDict[Tuple[int, int], np.ndarray]" = OrderedDict()
+        self._tile_cache_size = tile_cache_size
+        self.pages: List[TiffPage] = []
+        self._parse()
+
+    # -- low-level --------------------------------------------------------
+
+    def _pread(self, offset: int, size: int) -> bytes:
+        data = os.pread(self._fd, size, offset)
+        if len(data) != size:
+            raise IOError(f"short read at {offset} ({len(data)}/{size} bytes)")
+        return data
+
+    def close(self):
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- parsing ----------------------------------------------------------
+
+    def _parse(self):
+        header = self._pread(0, 16)
+        order = header[:2]
+        if order == II:
+            self._bo = "<"
+        elif order == MM:
+            self._bo = ">"
+        else:
+            raise ValueError(f"{self.path}: not a TIFF file")
+        magic = struct.unpack(self._bo + "H", header[2:4])[0]
+        if magic == 42:
+            self._big = False
+            ifd_offset = struct.unpack(self._bo + "I", header[4:8])[0]
+        elif magic == 43:
+            self._big = True
+            offsize, _ = struct.unpack(self._bo + "HH", header[4:8])
+            if offsize != 8:
+                raise ValueError("unsupported BigTIFF offset size")
+            ifd_offset = struct.unpack(self._bo + "Q", header[8:16])[0]
+        else:
+            raise ValueError(f"{self.path}: bad TIFF magic {magic}")
+
+        seen = set()
+        while ifd_offset and ifd_offset not in seen:
+            seen.add(ifd_offset)
+            page, ifd_offset = self._parse_ifd(ifd_offset)
+            self.pages.append(page)
+
+    def _parse_ifd(self, offset: int) -> Tuple[TiffPage, int]:
+        bo = self._bo
+        if self._big:
+            n = struct.unpack(bo + "Q", self._pread(offset, 8))[0]
+            entry_size, count_fmt, base = 20, "Q", offset + 8
+        else:
+            n = struct.unpack(bo + "H", self._pread(offset, 2))[0]
+            entry_size, count_fmt, base = 12, "I", offset + 2
+        raw = self._pread(base, n * entry_size)
+        tags = {}
+        for i in range(n):
+            e = raw[i * entry_size:(i + 1) * entry_size]
+            tag, ftype = struct.unpack(bo + "HH", e[:4])
+            count = struct.unpack(bo + count_fmt, e[4:4 + struct.calcsize(count_fmt)])[0]
+            value_field = e[4 + struct.calcsize(count_fmt):]
+            tags[tag] = self._read_tag_values(ftype, count, value_field)
+        next_off_pos = base + n * entry_size
+        if self._big:
+            next_ifd = struct.unpack(bo + "Q", self._pread(next_off_pos, 8))[0]
+        else:
+            next_ifd = struct.unpack(bo + "I", self._pread(next_off_pos, 4))[0]
+
+        def one(tag, default=None):
+            v = tags.get(tag)
+            if v is None:
+                return default
+            return v[0] if isinstance(v, (list, tuple)) else v
+
+        bits = tags.get(TAG_BITS_PER_SAMPLE, [8])
+        page = TiffPage(
+            width=int(one(TAG_IMAGE_WIDTH)),
+            height=int(one(TAG_IMAGE_LENGTH)),
+            bits=int(bits[0] if isinstance(bits, (list, tuple)) else bits),
+            compression=int(one(TAG_COMPRESSION, COMPRESSION_NONE)),
+            photometric=int(one(TAG_PHOTOMETRIC, PHOTOMETRIC_MINISBLACK)),
+            samples=int(one(TAG_SAMPLES_PER_PIXEL, 1)),
+            sample_format=int(one(TAG_SAMPLE_FORMAT, SAMPLEFORMAT_UINT)),
+            predictor=int(one(TAG_PREDICTOR, 1)),
+            tile_width=int(one(TAG_TILE_WIDTH, 0)),
+            tile_height=int(one(TAG_TILE_LENGTH, 0)),
+            tile_offsets=list(tags.get(TAG_TILE_OFFSETS, [])),
+            tile_counts=list(tags.get(TAG_TILE_BYTE_COUNTS, [])),
+            rows_per_strip=int(one(TAG_ROWS_PER_STRIP, 0)),
+            strip_offsets=list(tags.get(TAG_STRIP_OFFSETS, [])),
+            strip_counts=list(tags.get(TAG_STRIP_BYTE_COUNTS, [])),
+            jpeg_tables=bytes(tags[TAG_JPEG_TABLES]) if TAG_JPEG_TABLES in tags else None,
+            description=(
+                bytes(tags[TAG_IMAGE_DESCRIPTION]).split(b"\0")[0].decode("utf-8", "replace")
+                if TAG_IMAGE_DESCRIPTION in tags else ""
+            ),
+        )
+        return page, next_ifd
+
+    def _read_tag_values(self, ftype: int, count: int, value_field: bytes):
+        bo = self._bo
+        if ftype not in _TYPE_INFO:
+            return []
+        ch, size = _TYPE_INFO[ftype]
+        total = size * count
+        inline_cap = 8 if self._big else 4
+        if total <= inline_cap:
+            data = value_field[:total]
+        else:
+            off_fmt = "Q" if self._big else "I"
+            off = struct.unpack(bo + off_fmt, value_field[:struct.calcsize(off_fmt)])[0]
+            data = self._pread(off, total)
+        if ftype in (2, 7, 1, 6):  # ASCII / UNDEFINED / bytes
+            return data
+        if ftype in (5, 10):  # rationals -> floats
+            vals = struct.unpack(bo + ch * count, data)
+            return [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(count)]
+        return list(struct.unpack(bo + ch * count, data))
+
+    # -- decoding ---------------------------------------------------------
+
+    def _decode_block(self, page: TiffPage, data: bytes, block_h: int, block_w: int) -> np.ndarray:
+        comp = page.compression
+        if comp == COMPRESSION_JPEG:
+            stream = data
+            if page.jpeg_tables and len(page.jpeg_tables) > 4:
+                # Abbreviated stream: splice shared tables after the tile's SOI.
+                stream = data[:2] + page.jpeg_tables[2:-2] + data[2:]
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(stream))
+            if page.samples >= 3:
+                img = img.convert("RGB")
+            arr = np.asarray(img)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            # JPEG blocks may come back padded to MCU multiples; crop below.
+            return arr[:block_h, :block_w, :page.samples if page.samples <= arr.shape[2] else arr.shape[2]]
+
+        if comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
+            raw = zlib.decompress(data)
+        elif comp == COMPRESSION_LZW:
+            raw = lzw_decode(data)
+        elif comp == COMPRESSION_NONE:
+            raw = data
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+        dtype = page.dtype
+        arr = np.frombuffer(raw, dtype=dtype, count=block_h * block_w * page.samples)
+        arr = arr.reshape(block_h, block_w, page.samples)
+        if page.predictor == 2 and dtype == np.uint8:
+            arr = _undo_horizontal_predictor(arr)
+        return arr
+
+    def _tile(self, level: int, idx: int) -> np.ndarray:
+        key = (level, idx)
+        with self._cache_lock:
+            cached = self._tile_cache.get(key)
+            if cached is not None:
+                self._tile_cache.move_to_end(key)
+                return cached
+        page = self.pages[level]
+        data = self._pread(page.tile_offsets[idx], page.tile_counts[idx])
+        arr = self._decode_block(page, data, page.tile_height, page.tile_width)
+        if arr.shape[:2] != (page.tile_height, page.tile_width):
+            full = np.zeros((page.tile_height, page.tile_width, arr.shape[2]), arr.dtype)
+            full[:arr.shape[0], :arr.shape[1]] = arr
+            arr = full
+        with self._cache_lock:
+            self._tile_cache[key] = arr
+            while len(self._tile_cache) > self._tile_cache_size:
+                self._tile_cache.popitem(last=False)
+        return arr
+
+    def read_whole(self, level: int) -> np.ndarray:
+        page = self.pages[level]
+        return self.read_region(level, 0, 0, page.width, page.height)
+
+    def read_region(self, level: int, x: int, y: int, w: int, h: int) -> np.ndarray:
+        """Read a (h, w, samples) region; ``x, y`` are in this level's pixels.
+
+        Out-of-bounds areas are zero-filled (matching the reference's
+        ``read_region(...).convert('RGB')`` behavior on OOB, which yields
+        black; cf. ``reference DigiPathAI/loaders/dataloader.py:357``).
+        """
+        page = self.pages[level]
+        out = np.zeros((h, w, page.samples), dtype=page.dtype)
+        x0, y0 = max(x, 0), max(y, 0)
+        x1, y1 = min(x + w, page.width), min(y + h, page.height)
+        if x0 >= x1 or y0 >= y1:
+            return out
+
+        if page.is_tiled:
+            tw, th = page.tile_width, page.tile_height
+            ta = page.tiles_across
+            for ty in range(y0 // th, (y1 - 1) // th + 1):
+                for tx in range(x0 // tw, (x1 - 1) // tw + 1):
+                    tile = self._tile(level, ty * ta + tx)
+                    # Intersection of tile with the requested region
+                    ix0, iy0 = max(x0, tx * tw), max(y0, ty * th)
+                    ix1, iy1 = min(x1, (tx + 1) * tw), min(y1, (ty + 1) * th)
+                    out[iy0 - y:iy1 - y, ix0 - x:ix1 - x] = tile[
+                        iy0 - ty * th:iy1 - ty * th, ix0 - tx * tw:ix1 - tx * tw
+                    ]
+        else:
+            rps = page.rows_per_strip or page.height
+            for s in range(y0 // rps, (y1 - 1) // rps + 1):
+                sh = min(rps, page.height - s * rps)
+                data = self._pread(page.strip_offsets[s], page.strip_counts[s])
+                strip = self._decode_block(page, data, sh, page.width)
+                iy0, iy1 = max(y0, s * rps), min(y1, s * rps + sh)
+                out[iy0 - y:iy1 - y, x0 - x:x1 - x] = strip[iy0 - s * rps:iy1 - s * rps, x0:x1]
+        return out
+
+
+# --- Writer -------------------------------------------------------------------
+
+
+def _encode_tile(tile: np.ndarray, compression: str, quality: int) -> bytes:
+    if compression == "deflate":
+        return zlib.compress(np.ascontiguousarray(tile).tobytes(), 6)
+    if compression == "jpeg":
+        from PIL import Image
+
+        arr = tile if tile.ndim == 2 or tile.shape[2] > 1 else tile[:, :, 0]
+        img = Image.fromarray(arr)
+        buf = io.BytesIO()
+        img.save(buf, "jpeg", quality=quality)
+        return buf.getvalue()
+    if compression == "raw":
+        return np.ascontiguousarray(tile).tobytes()
+    raise ValueError(f"unknown compression {compression!r}")
+
+
+_COMP_TAG = {"deflate": COMPRESSION_DEFLATE_ADOBE, "jpeg": COMPRESSION_JPEG, "raw": COMPRESSION_NONE}
+
+
+class _IfdBuilder:
+    """Accumulates (tag, type, values) and serializes a little-endian IFD."""
+
+    def __init__(self, big: bool = False):
+        self.entries = []
+        self.big = big
+
+    def add(self, tag, ftype, values):
+        if not isinstance(values, (list, tuple, bytes)):
+            values = [values]
+        self.entries.append((tag, ftype, values))
+
+    def write(self, f) -> int:
+        """Write IFD at current position; returns file offset of next-IFD ptr."""
+        self.entries.sort(key=lambda e: e[0])
+        n = len(self.entries)
+        ifd_offset = f.tell()
+        if self.big:
+            entry_size, header_size, ptr_size = 20, 8, 8
+        else:
+            entry_size, header_size, ptr_size = 12, 2, 4
+        table_size = header_size + n * entry_size + ptr_size
+        data_offset = ifd_offset + table_size
+        table = io.BytesIO()
+        if self.big:
+            table.write(struct.pack("<Q", n))
+        else:
+            table.write(struct.pack("<H", n))
+        blobs = []
+        inline_cap = 8 if self.big else 4
+        cnt_fmt = "<Q" if self.big else "<I"
+        for tag, ftype, values in self.entries:
+            ch, size = _TYPE_INFO[ftype]
+            if isinstance(values, bytes):
+                payload, count = values, len(values)
+            elif ftype in (5, 10):
+                payload = b"".join(struct.pack("<" + ch, *v) for v in values)
+                count = len(values)
+            else:
+                payload = struct.pack("<" + ch * len(values), *values)
+                count = len(values)
+            table.write(struct.pack("<HH", tag, ftype))
+            table.write(struct.pack(cnt_fmt, count))
+            if len(payload) <= inline_cap:
+                table.write(payload.ljust(inline_cap, b"\0"))
+            else:
+                if len(payload) % 2:
+                    payload += b"\0"
+                table.write(struct.pack(cnt_fmt, data_offset))
+                blobs.append(payload)
+                data_offset += len(payload)
+        next_ptr_pos = ifd_offset + header_size + n * entry_size
+        table.write(struct.pack(cnt_fmt, 0))  # next IFD (patched later)
+        f.write(table.getvalue())
+        for b in blobs:
+            f.write(b)
+        return next_ptr_pos
+
+
+class PyramidalTiffWriter:
+    """Streams a tiled pyramidal TIFF without materializing all levels in RAM.
+
+    Usage::
+
+        with PyramidalTiffWriter(path, w, h, channels=3) as wr:
+            wr.write_base(source)   # source: array-like supporting 2D slicing
+        # levels are generated by 2x2 mean downsampling until <= tile size
+
+    Equivalent artifact to the reference's ``tifffile.imsave`` + ImageMagick
+    ``convert ... ptif:`` two-step (``reference Segmentation.py:333-352``),
+    produced directly with no subprocess and no intermediate flat TIFF.
+    """
+
+    def __init__(self, path, width, height, channels=1, dtype=np.uint8,
+                 tile=256, compression="jpeg", quality=90, description="",
+                 mpp=None, bigtiff=None, scratch_dir=None):
+        self.path = str(path)
+        self.width, self.height, self.channels = int(width), int(height), int(channels)
+        self.dtype = np.dtype(dtype)
+        if self.dtype == np.float32 and compression == "jpeg":
+            compression = "deflate"
+        self.tile = int(tile)
+        self.compression = compression
+        self.quality = quality
+        self.description = description
+        self.mpp = mpp
+        self.scratch_dir = scratch_dir
+        if bigtiff is None:
+            # Heuristic: raw base size over ~2 GB -> BigTIFF offsets.
+            bigtiff = width * height * channels * self.dtype.itemsize > (2 << 30)
+        self.big = bool(bigtiff)
+        self._levels_meta = []  # (w, h, offsets, counts)
+        self._f = open(self.path, "wb")
+        if self.big:
+            self._f.write(struct.pack("<2sHHHQ", II, 43, 8, 0, 0))
+        else:
+            self._f.write(struct.pack("<2sHI", II, 42, 0))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.finish()
+        else:
+            self._f.close()
+
+    # -- level emission ---------------------------------------------------
+
+    def _emit_level(self, source, w, h):
+        """Write one level's tiles; returns (offsets, counts)."""
+        t = self.tile
+        offsets, counts = [], []
+        for ty in range(0, h, t):
+            bh = min(t, h - ty)
+            # Read a full row-block of tiles at once (cheap for memmaps).
+            block = np.asarray(source[ty:ty + bh, 0:w])
+            if block.ndim == 2:
+                block = block[:, :, None]
+            for tx in range(0, w, t):
+                bw = min(t, w - tx)
+                tile_arr = np.zeros((t, t, self.channels), self.dtype)
+                tile_arr[:bh, :bw] = block[:, tx:tx + bw]
+                if self.compression == "jpeg":
+                    # JPEG edge tiles: replicate edge pixels to avoid dark
+                    # bleed from the zero padding into in-bounds pixels.
+                    if bh < t:
+                        tile_arr[bh:] = tile_arr[bh - 1:bh]
+                    if bw < t:
+                        tile_arr[:, bw:] = tile_arr[:, bw - 1:bw]
+                data = _encode_tile(
+                    tile_arr if self.channels > 1 else tile_arr[:, :, 0],
+                    self.compression, self.quality,
+                )
+                offsets.append(self._f.tell())
+                counts.append(len(data))
+                self._f.write(data)
+        return offsets, counts
+
+    def _downsample_source(self, source, w, h):
+        """2x2 mean downsample into RAM or a scratch memmap for huge levels."""
+        nw, nh = max(1, w // 2), max(1, h // 2)
+        nbytes = nw * nh * self.channels * self.dtype.itemsize
+        if nbytes > (512 << 20):
+            import tempfile
+
+            tmp = tempfile.NamedTemporaryFile(
+                prefix="dpai_pyr_", suffix=".dat", dir=self.scratch_dir, delete=False)
+            shape = (nh, nw, self.channels) if self.channels > 1 else (nh, nw)
+            dst = np.memmap(tmp.name, dtype=self.dtype, mode="w+", shape=shape)
+            self._scratch_files.append(tmp.name)
+        else:
+            shape = (nh, nw, self.channels) if self.channels > 1 else (nh, nw)
+            dst = np.zeros(shape, self.dtype)
+        step = 4096
+        for y in range(0, nh, step):
+            bh = min(step, nh - y)
+            block = np.asarray(source[2 * y:2 * (y + bh), 0:2 * nw])
+            if block.ndim == 2:
+                block = block[:, :, None]
+            blk = block.reshape(bh, 2, nw, 2, self.channels).astype(np.float32)
+            ds = blk.mean(axis=(1, 3))
+            if np.issubdtype(self.dtype, np.integer):
+                ds = np.round(ds)
+            view = dst[y:y + bh]
+            view_3d = view if view.ndim == 3 else view[:, :, None]
+            view_3d[:] = ds.astype(self.dtype)
+        return dst, nw, nh
+
+    def write_base(self, source):
+        """Write level 0 from ``source`` and derive all coarser levels."""
+        self._scratch_files = []
+        w, h = self.width, self.height
+        offsets, counts = self._emit_level(source, w, h)
+        self._levels_meta.append((w, h, offsets, counts))
+        cur = source
+        while max(w, h) > self.tile:
+            cur, w, h = self._downsample_source(cur, w, h)
+            offsets, counts = self._emit_level(cur, w, h)
+            self._levels_meta.append((w, h, offsets, counts))
+
+    # -- finalize ---------------------------------------------------------
+
+    def _ifd_for_level(self, idx) -> _IfdBuilder:
+        w, h, offsets, counts = self._levels_meta[idx]
+        b = _IfdBuilder(big=self.big)
+        off_type = 16 if self.big else 4
+        b.add(TAG_IMAGE_WIDTH, 4, w)
+        b.add(TAG_IMAGE_LENGTH, 4, h)
+        b.add(TAG_BITS_PER_SAMPLE, 3, [self.dtype.itemsize * 8] * self.channels)
+        b.add(TAG_COMPRESSION, 3, _COMP_TAG[self.compression])
+        if self.channels >= 3:
+            b.add(TAG_PHOTOMETRIC, 3,
+                  PHOTOMETRIC_YCBCR if self.compression == "jpeg" else PHOTOMETRIC_RGB)
+        else:
+            b.add(TAG_PHOTOMETRIC, 3, PHOTOMETRIC_MINISBLACK)
+        b.add(TAG_SAMPLES_PER_PIXEL, 3, self.channels)
+        b.add(TAG_PLANAR_CONFIG, 3, 1)
+        b.add(TAG_TILE_WIDTH, 3, self.tile)
+        b.add(TAG_TILE_LENGTH, 3, self.tile)
+        b.add(TAG_TILE_OFFSETS, off_type, offsets)
+        b.add(TAG_TILE_BYTE_COUNTS, 4, counts)
+        if np.issubdtype(self.dtype, np.floating):
+            b.add(TAG_SAMPLE_FORMAT, 3, [SAMPLEFORMAT_FLOAT] * self.channels)
+        if idx == 0:
+            desc = self.description or ""
+            if self.mpp:
+                desc = (desc + "|" if desc else "") + f"mpp={self.mpp}"
+            if desc:
+                b.add(TAG_IMAGE_DESCRIPTION, 2, desc.encode() + b"\0")
+            if self.mpp:
+                # pixels per cm
+                ppcm = 10000.0 / float(self.mpp)
+                frac = (int(ppcm * 1000), 1000)
+                b.add(TAG_X_RESOLUTION, 5, [frac])
+                b.add(TAG_Y_RESOLUTION, 5, [frac])
+                b.add(TAG_RESOLUTION_UNIT, 3, 3)  # centimeter
+        return b
+
+    def finish(self):
+        f = self._f
+        prev_ptr_pos = 4 if not self.big else 8
+        for i in range(len(self._levels_meta)):
+            if f.tell() % 2:
+                f.write(b"\0")
+            ifd_offset = f.tell()
+            next_ptr_pos = self._ifd_for_level(i).write(f)
+            end = f.tell()
+            f.seek(prev_ptr_pos)
+            f.write(struct.pack("<Q" if self.big else "<I", ifd_offset))
+            f.seek(end)
+            prev_ptr_pos = next_ptr_pos
+        f.close()
+        for tmp in getattr(self, "_scratch_files", []):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
+def write_pyramidal_tiff(path, array, tile=256, compression="jpeg", quality=90,
+                         description="", mpp=None, scratch_dir=None):
+    """Write ``array`` (H, W) or (H, W, C) as a tiled pyramidal TIFF."""
+    array = np.asarray(array) if not isinstance(array, np.memmap) else array
+    h, w = array.shape[:2]
+    channels = array.shape[2] if array.ndim == 3 else 1
+    with PyramidalTiffWriter(path, w, h, channels=channels, dtype=array.dtype,
+                             tile=tile, compression=compression, quality=quality,
+                             description=description, mpp=mpp,
+                             scratch_dir=scratch_dir) as wr:
+        wr.write_base(array)
+    return path
