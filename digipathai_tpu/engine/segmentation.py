@@ -1,0 +1,223 @@
+"""End-to-end WSI segmentation: the public ``getSegmentation`` API.
+
+Signature and behavior parity target: ``getSegmentation``
+(``reference DigiPathAI/Segmentation.py:192-356``) — same kwargs, same
+``status`` wire strings, same artifact set (probability map, 0.3-thresholded
+mask, variance-based uncertainty map as tiled JPEG pyramids), same return
+value (the thresholded map in (X, Y) orientation).
+
+TPU redesign of the execution (SURVEY.md §7): static-shape supertile work
+units -> threaded uint8 host loader -> one jitted XLA step per batch
+(normalize + ensemble x TTA forward + masked scatter-add into a donated HBM
+accumulator) -> per-supertile host memmap writeback -> streamed pyramid
+writer.  No torch, no ImageMagick, no per-patch Python loops.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..models.registry import build_model
+from ..models import weights as weights_mod
+from ..ops import tta as tta_ops
+from ..ops.stitch import make_accumulator
+from .infer import build_step
+from .loader import PatchLoader
+from .planner import plan_patches
+
+THRESHOLD = 0.3  # reference Segmentation.py:310
+
+_ENSEMBLE = ("dense", "inception", "deeplabv3")
+
+
+def _memmap_dir() -> Path:
+    d = weights_mod.cache_dir() / "memmaps"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _status_set(status_obj, **kw):
+    if status_obj is None:
+        return
+    for k, v in kw.items():
+        status_obj[k] = v
+
+
+def getSegmentation(img_path,
+                    patch_size: int = 256,
+                    stride_size: int = 128,
+                    batch_size: int = 32,
+                    tta_list=None,
+                    crf: bool = False,
+                    probs_path: str = "../Results",
+                    mask_path: str = "../Results",
+                    uncertainty_path: str = "../Results",
+                    status=None,
+                    quick: bool = True,
+                    mask_level: int = -1,
+                    model: str = "dense",
+                    mode: str = "colon",
+                    *,
+                    supertile: int = 4096,
+                    num_workers: int = 8,
+                    faithful_tta: bool = False,
+                    allow_random_weights: bool = True,
+                    save_float_probs: bool = False,
+                    threshold: float = THRESHOLD,
+                    compute_dtype=None,
+                    progress_cb=None) -> np.ndarray:
+    """Segment a whole-slide image; writes three pyramidal TIFFs.
+
+    Reference-compatible args (``reference Segmentation.py:192-205``) plus
+    keyword-only TPU knobs.  Returns the thresholded (0/255) mean map in the
+    reference's (X, Y) orientation.
+    """
+    import jax.numpy as jnp
+
+    from ..io.slide import Slide
+    from ..io.tiff_py import PyramidalTiffWriter
+
+    mode = mode.lower()
+    if mode not in weights_mod.MODES:
+        raise ValueError(
+            "Unknown mode found, allowed fields are: ['colon', 'liver', 'breast']")
+
+    # quick=True -> single model; else 3-model ensemble (Segmentation.py:288-300)
+    model_names: List[str] = list(_ENSEMBLE) if not quick else [model]
+
+    tta_full = tta_ops.resolve_tta_list(tta_list)
+
+    # --- weights ---------------------------------------------------------
+    have_all = all(
+        weights_mod.h5_path(mode, m).exists() for m in model_names if m in _ENSEMBLE)
+    _status_set(status, status=(
+        "Found Trained Models, Skipping download" if have_all
+        else "Downloading Trained Models"))
+    _status_set(status, status="Loading Trained weights")
+
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16
+    bundles, variables_list = [], []
+    for name in model_names:
+        b = build_model(name, dtype=compute_dtype)
+        bundles.append(b)
+        if name in _ENSEMBLE:
+            v = weights_mod.load_variables(
+                b, mode, name, patch_size, status=status,
+                allow_random=allow_random_weights)
+        else:
+            v = b.init(patch_size)
+        variables_list.append(v)
+
+    # --- plan + maps -----------------------------------------------------
+    _status_set(status, status="Running segmentation")
+    slide = Slide(str(img_path))
+    plan = plan_patches(slide, patch=patch_size, stride=stride_size,
+                        batch=batch_size, supertile=supertile,
+                        mask_level=mask_level)
+    X, Y = plan.slide_dims
+    stem = Path(str(img_path)).stem
+    mdir = _memmap_dir()
+    mean_map = np.memmap(mdir / f"{stem}-mean.dat", np.float32, "w+", shape=(Y, X))
+    var_map = np.memmap(mdir / f"{stem}-var.dat", np.float32, "w+", shape=(Y, X))
+    count_map = np.memmap(mdir / f"{stem}-count.dat", np.float32, "w+", shape=(Y, X))
+
+    step = build_step(bundles, tta_full, patch_size, faithful_tta=faithful_tta,
+                      compute_dtype=compute_dtype)
+    variables_tuple = tuple(variables_list)
+
+    import jax
+
+    total_batches = max(plan.total_batches, 1)
+    done = 0
+    acc = None
+    cur_group = -1
+
+    def flush(acc, gi):
+        g = plan.groups[gi]
+        ox, oy = g.origin
+        hx = min(supertile + patch_size, X - ox)
+        hy = min(supertile + patch_size, Y - oy)
+        # transpose on device (free layout change) so host writeback is
+        # row-contiguous in the (Y, X) memmaps
+        host = np.asarray(jax.device_get(jnp.transpose(acc, (0, 2, 1))))
+        mean_map[oy:oy + hy, ox:ox + hx] += host[0, :hy, :hx]
+        var_map[oy:oy + hy, ox:ox + hx] += host[1, :hy, :hx]
+        count_map[oy:oy + hy, ox:ox + hx] += host[2, :hy, :hx]
+
+    for batch in PatchLoader(slide, plan, num_workers=num_workers):
+        if batch.group_index != cur_group:
+            if acc is not None:
+                flush(acc, cur_group)
+            acc = make_accumulator(supertile, patch_size)
+            cur_group = batch.group_index
+        acc = step(variables_tuple, acc, batch.patches, batch.offsets, batch.valid)
+        done += 1
+        _status_set(status, progress=int(done * 100.0 / total_batches))
+        if progress_cb is not None:
+            progress_cb(done, total_batches)
+    if acc is not None:
+        flush(acc, cur_group)
+
+    # --- finalize (chunked): mean /= count, var /= count^2 ---------------
+    CHUNK = 4096
+    for y0 in range(0, Y, CHUNK):
+        y1 = min(y0 + CHUNK, Y)
+        c = np.maximum(count_map[y0:y1], 1.0)
+        mean_map[y0:y1] /= c
+        var_map[y0:y1] /= c * c
+    mean_map.flush()
+    var_map.flush()
+
+    if crf:
+        from ..ops.crf import refine_slide_crf
+
+        _status_set(status, status="Refining with CRF")
+        refine_slide_crf(slide, mean_map, supertile=supertile)
+
+    # --- write artifacts -------------------------------------------------
+    def write_u8(path, transform):
+        tmp = np.memmap(mdir / f"{stem}-u8.dat", np.uint8, "w+", shape=(Y, X))
+        for y0 in range(0, Y, CHUNK):
+            y1 = min(y0 + CHUNK, Y)
+            tmp[y0:y1] = transform(y0, y1)
+        tmp.flush()
+        with PyramidalTiffWriter(str(path), X, Y, channels=1, dtype=np.uint8,
+                                 compression="jpeg", quality=90,
+                                 scratch_dir=str(mdir)) as wr:
+            wr.write_base(tmp)
+        del tmp
+
+    write_u8(probs_path, lambda a, b: np.clip(
+        np.round(mean_map[a:b] * 255.0), 0, 255).astype(np.uint8))
+    if save_float_probs:
+        fp = str(probs_path) + ".f32.tiff"
+        with PyramidalTiffWriter(fp, X, Y, channels=1, dtype=np.float32,
+                                 compression="deflate",
+                                 scratch_dir=str(mdir)) as wr:
+            wr.write_base(mean_map)
+
+    _status_set(status, progress=100)
+    _status_set(status, status="Saving Prediction Mask...")
+    mask_mm = np.memmap(mdir / f"{stem}-maskbin.dat", np.uint8, "w+", shape=(Y, X))
+    for y0 in range(0, Y, CHUNK):
+        y1 = min(y0 + CHUNK, Y)
+        mask_mm[y0:y1] = np.where(mean_map[y0:y1] >= threshold, 255, 0).astype(np.uint8)
+    mask_mm.flush()
+    with PyramidalTiffWriter(str(mask_path), X, Y, channels=1, dtype=np.uint8,
+                             compression="jpeg", quality=90,
+                             scratch_dir=str(mdir)) as wr:
+        wr.write_base(mask_mm)
+
+    _status_set(status, status="Saving Prediction Uncertanity...")
+    write_u8(uncertainty_path, lambda a, b: np.clip(
+        np.round(var_map[a:b] * 255.0), 0, 255).astype(np.uint8))
+    _status_set(status, progress=0)
+
+    slide.close()
+    # reference returns the thresholded map in (X, Y) orientation
+    return mask_mm.T

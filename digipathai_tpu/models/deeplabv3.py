@@ -1,0 +1,190 @@
+"""DeepLabv3+ (Xception-65 backbone) in flax, bfloat16 compute.
+
+Architecture parity target: ``Deeplabv3``
+(``reference DigiPathAI/models/deeplabv3.py:219-457``) as instantiated by the
+engine (``reference DigiPathAI/helpers/utils.py:438-446``): Xception
+backbone, OS=16, 2 classes, softmax activation, fixed input size.
+
+Structure: entry flow (conv1_1 s2, conv1_2, three conv-shortcut xception
+blocks), 16 sum-shortcut middle-flow blocks, exit flow (conv-shortcut block +
+depth-activated block with atrous rates), ASPP (image pooling + 1x1 + three
+atrous separable branches @6/12/18, eps 1e-5), concat projection, decoder
+(align-corners x4 upsample, 48-ch skip projection, two separable convs),
+2-class logits, align-corners resize to input size, softmax.
+
+All Keras layers here are explicitly named, so checkpoint conversion is a
+direct name map. Separable convs = grouped (depthwise) nn.Conv + pointwise
+nn.Conv with BN between, mirroring ``SepConv_BN``
+(``reference deeplabv3.py:52-89``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear_align_corners
+
+
+class DeepLabV3Plus(nn.Module):
+    num_classes: int = 2
+    output_stride: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32,
+                       use_bias=False)
+        bn = partial(nn.BatchNorm, use_running_average=not train,
+                     momentum=0.99, dtype=self.dtype, param_dtype=jnp.float32)
+
+        if self.output_stride == 8:
+            entry_block3_stride, middle_block_rate = 1, 2
+            exit_block_rates, atrous_rates = (2, 4), (12, 24, 36)
+        else:
+            entry_block3_stride, middle_block_rate = 2, 1
+            exit_block_rates, atrous_rates = (1, 2), (6, 12, 18)
+
+        def pad_for_stride2(y, kernel, rate=1):
+            # explicit symmetric-ish padding before VALID stride-2 convs
+            # (reference _conv2d_same / SepConv_BN stride!=1 path)
+            eff = kernel + (kernel - 1) * (rate - 1)
+            lo = (eff - 1) // 2
+            hi = (eff - 1) - lo
+            return jnp.pad(y, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+
+        def sep_conv_bn(y, filters, prefix, stride=1, kernel=3, rate=1,
+                        depth_activation=False, epsilon=1e-3):
+            if stride != 1:
+                y = pad_for_stride2(y, kernel, rate)
+                padding = "VALID"
+            else:
+                padding = "SAME"
+            if not depth_activation:
+                y = nn.relu(y)
+            c = y.shape[-1]
+            y = conv(c, (kernel, kernel), strides=(stride, stride),
+                     padding=padding, kernel_dilation=(rate, rate),
+                     feature_group_count=c, name=f"{prefix}_depthwise")(y)
+            y = bn(epsilon=epsilon, name=f"{prefix}_depthwise_BN")(y)
+            if depth_activation:
+                y = nn.relu(y)
+            y = conv(filters, (1, 1), padding="SAME",
+                     name=f"{prefix}_pointwise")(y)
+            y = bn(epsilon=epsilon, name=f"{prefix}_pointwise_BN")(y)
+            if depth_activation:
+                y = nn.relu(y)
+            return y
+
+        def conv2d_same(y, filters, prefix, stride=1, kernel=3, rate=1):
+            if stride == 1:
+                return conv(filters, (kernel, kernel), padding="SAME",
+                            kernel_dilation=(rate, rate), name=prefix)(y)
+            y = pad_for_stride2(y, kernel, rate)
+            return conv(filters, (kernel, kernel), strides=(stride, stride),
+                        padding="VALID", kernel_dilation=(rate, rate),
+                        name=prefix)(y)
+
+        def xception_block(y, depth_list, prefix, skip_type, stride, rate=1,
+                           depth_activation=False, return_skip=False):
+            residual = y
+            skip = None
+            for i in range(3):
+                residual = sep_conv_bn(
+                    residual, depth_list[i],
+                    f"{prefix}_separable_conv{i + 1}",
+                    stride=stride if i == 2 else 1, rate=rate,
+                    depth_activation=depth_activation)
+                if i == 1:
+                    skip = residual
+            if skip_type == "conv":
+                shortcut = conv2d_same(y, depth_list[-1], f"{prefix}_shortcut",
+                                       kernel=1, stride=stride)
+                shortcut = bn(epsilon=1e-3, name=f"{prefix}_shortcut_BN")(shortcut)
+                out = residual + shortcut
+            elif skip_type == "sum":
+                out = residual + y
+            else:
+                out = residual
+            return (out, skip) if return_skip else out
+
+        x = x.astype(self.dtype)
+        B, H, W, _ = x.shape
+
+        # --- entry flow ---
+        y = conv(32, (3, 3), strides=(2, 2), padding="SAME",
+                 name="entry_flow_conv1_1")(x)
+        y = bn(epsilon=1e-3, name="entry_flow_conv1_1_BN")(y)
+        y = nn.relu(y)
+        y = conv2d_same(y, 64, "entry_flow_conv1_2", kernel=3, stride=1)
+        y = bn(epsilon=1e-3, name="entry_flow_conv1_2_BN")(y)
+        y = nn.relu(y)
+
+        y = xception_block(y, [128, 128, 128], "entry_flow_block1",
+                           "conv", stride=2)
+        y, skip1 = xception_block(y, [256, 256, 256], "entry_flow_block2",
+                                  "conv", stride=2, return_skip=True)
+        y = xception_block(y, [728, 728, 728], "entry_flow_block3",
+                           "conv", stride=entry_block3_stride)
+
+        # --- middle flow ---
+        for i in range(16):
+            y = xception_block(y, [728, 728, 728], f"middle_flow_unit_{i + 1}",
+                               "sum", stride=1, rate=middle_block_rate)
+
+        # --- exit flow ---
+        y = xception_block(y, [728, 1024, 1024], "exit_flow_block1",
+                           "conv", stride=1, rate=exit_block_rates[0])
+        y = xception_block(y, [1536, 1536, 2048], "exit_flow_block2",
+                           "none", stride=1, rate=exit_block_rates[1],
+                           depth_activation=True)
+
+        # --- ASPP ---
+        feat_h, feat_w = y.shape[1], y.shape[2]
+        b4 = jnp.mean(y, axis=(1, 2), keepdims=True)
+        b4 = conv(256, (1, 1), padding="SAME", name="image_pooling")(b4)
+        b4 = bn(epsilon=1e-5, name="image_pooling_BN")(b4)
+        b4 = nn.relu(b4)
+        b4 = resize_bilinear_align_corners(b4, (feat_h, feat_w))
+
+        b0 = conv(256, (1, 1), padding="SAME", name="aspp0")(y)
+        b0 = bn(epsilon=1e-5, name="aspp0_BN")(b0)
+        b0 = nn.relu(b0)
+
+        b1 = sep_conv_bn(y, 256, "aspp1", rate=atrous_rates[0],
+                         depth_activation=True, epsilon=1e-5)
+        b2 = sep_conv_bn(y, 256, "aspp2", rate=atrous_rates[1],
+                         depth_activation=True, epsilon=1e-5)
+        b3 = sep_conv_bn(y, 256, "aspp3", rate=atrous_rates[2],
+                         depth_activation=True, epsilon=1e-5)
+
+        y = jnp.concatenate([b4, b0, b1, b2, b3], axis=-1)
+        y = conv(256, (1, 1), padding="SAME", name="concat_projection")(y)
+        y = bn(epsilon=1e-5, name="concat_projection_BN")(y)
+        y = nn.relu(y)
+        y = nn.Dropout(0.1, deterministic=not train)(y)
+
+        # --- decoder ---
+        y = resize_bilinear_align_corners(
+            y, (feat_h * (self.output_stride // 4),
+                feat_w * (self.output_stride // 4)))
+        dec_skip = conv(48, (1, 1), padding="SAME",
+                        name="feature_projection0")(skip1)
+        dec_skip = bn(epsilon=1e-5, name="feature_projection0_BN")(dec_skip)
+        dec_skip = nn.relu(dec_skip)
+        y = jnp.concatenate([y, dec_skip.astype(y.dtype)], axis=-1)
+        y = sep_conv_bn(y, 256, "decoder_conv0", depth_activation=True,
+                        epsilon=1e-5)
+        y = sep_conv_bn(y, 256, "decoder_conv1", depth_activation=True,
+                        epsilon=1e-5)
+
+        # 2-class head: 'custom_logits_semantic' since classes != 21
+        # (reference deeplabv3.py:436-441)
+        y = nn.Conv(self.num_classes, (1, 1), padding="SAME",
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="custom_logits_semantic")(y)
+        y = resize_bilinear_align_corners(y, (H, W))
+        return nn.softmax(y.astype(jnp.float32), axis=-1)

@@ -1,0 +1,130 @@
+"""DenseNet-121 U-Net in flax, bfloat16 compute.
+
+Architecture parity target: ``unet_densenet121``
+(``reference DigiPathAI/models/densenet.py:110-159``): DenseNet-121 encoder
+(blocks [6, 12, 24, 16], growth 32, 0.5 transitions, BN eps 1.001e-5) with a
+5-stage nearest-upsample U-Net decoder (320/256/128/96/64, conv+BN(1e-3)+relu
+blocks) and a 2-class softmax head.
+
+Layer names mirror the Keras layer names ('/' -> '__') so the .h5 weight
+converter (``digipathai_tpu.models.convert_h5``) can map checkpoints by name;
+unnamed Keras decoder layers use Keras's auto-naming scheme
+(conv2d, conv2d_1, ..., batch_normalization, ...).
+
+TPU notes: all convs run in bfloat16 on the MXU with float32 params; the
+softmax head is computed in float32. Shapes are fully static; no
+data-dependent control flow, so the whole forward jits into one XLA module.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BN_EPS_DENSE = 1.001e-5
+BN_EPS_DECODER = 1e-3
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsampling (Keras UpSampling2D default)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class DenseNet121UNet(nn.Module):
+    num_classes: int = 2
+    growth: int = 32
+    blocks: tuple = (6, 12, 24, 16)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
+        bn = partial(nn.BatchNorm, use_running_average=not train,
+                     momentum=0.99, dtype=self.dtype, param_dtype=jnp.float32)
+        he = nn.initializers.he_normal()
+
+        def dense_layer(x, name):
+            y = bn(epsilon=BN_EPS_DENSE, name=f"{name}_0_bn")(x)
+            y = nn.relu(y)
+            y = conv(4 * self.growth, (1, 1), use_bias=False, name=f"{name}_1_conv")(y)
+            y = bn(epsilon=BN_EPS_DENSE, name=f"{name}_1_bn")(y)
+            y = nn.relu(y)
+            y = conv(self.growth, (3, 3), padding="SAME", use_bias=False,
+                     name=f"{name}_2_conv")(y)
+            return jnp.concatenate([x, y], axis=-1)
+
+        def dense_block(x, n, name):
+            for i in range(n):
+                x = dense_layer(x, f"{name}_block{i + 1}")
+            return x
+
+        def transition(x, name):
+            y = bn(epsilon=BN_EPS_DENSE, name=f"{name}_bn")(x)
+            y = nn.relu(y)
+            y = conv(int(x.shape[-1] * 0.5), (1, 1), use_bias=False,
+                     name=f"{name}_conv")(y)
+            return nn.avg_pool(y, (2, 2), strides=(2, 2), padding="VALID")
+
+        dec_idx = {"conv": 0, "bn": 0}
+
+        def conv_block(x, features):
+            # Keras auto-named decoder block: Conv(3x3, same, he_normal, bias)
+            # + BN(eps 1e-3) + relu (reference densenet.py:37-48)
+            ci, bi = dec_idx["conv"], dec_idx["bn"]
+            cname = "conv2d" if ci == 0 else f"conv2d_{ci}"
+            bname = "batch_normalization" if bi == 0 else f"batch_normalization_{bi}"
+            dec_idx["conv"] += 1
+            dec_idx["bn"] += 1
+            y = conv(features, (3, 3), padding="SAME", kernel_init=he, name=cname)(x)
+            y = bn(epsilon=BN_EPS_DECODER, name=bname)(y)
+            return nn.relu(y)
+
+        x = x.astype(self.dtype)
+
+        # --- encoder (DenseNet-121) ---
+        y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        y = conv(64, (7, 7), strides=(2, 2), padding="VALID", use_bias=False,
+                 name="conv1__conv")(y)
+        y = bn(epsilon=BN_EPS_DENSE, name="conv1__bn")(y)
+        y = nn.relu(y)
+        conv1 = y
+        y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="VALID")
+        y = dense_block(y, self.blocks[0], "conv2")
+        conv2 = y
+        y = transition(y, "pool2")
+        y = dense_block(y, self.blocks[1], "conv3")
+        conv3 = y
+        y = transition(y, "pool3")
+        y = dense_block(y, self.blocks[2], "conv4")
+        conv4 = y
+        y = transition(y, "pool4")
+        y = dense_block(y, self.blocks[3], "conv5")
+        y = bn(epsilon=BN_EPS_DENSE, name="bn")(y)
+        conv5 = y  # note: no relu after 'bn', faithful to the reference
+
+        # --- decoder (U-Net) ---
+        y = conv_block(upsample2x(conv5), 320)
+        y = jnp.concatenate([y, conv4.astype(y.dtype)], axis=-1)
+        y = conv_block(y, 320)
+
+        y = conv_block(upsample2x(y), 256)
+        y = jnp.concatenate([y, conv3.astype(y.dtype)], axis=-1)
+        y = conv_block(y, 256)
+
+        y = conv_block(upsample2x(y), 128)
+        y = jnp.concatenate([y, conv2.astype(y.dtype)], axis=-1)
+        y = conv_block(y, 128)
+
+        y = conv_block(upsample2x(y), 96)
+        y = jnp.concatenate([y, conv1.astype(y.dtype)], axis=-1)
+        y = conv_block(y, 96)
+
+        y = conv_block(upsample2x(y), 64)
+        y = conv_block(y, 64)
+
+        logits = conv(self.num_classes, (1, 1), name=f"conv2d_{dec_idx['conv']}")(y)
+        return nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -1,0 +1,178 @@
+"""Inception-ResNet-v2 U-Net in flax, bfloat16 compute.
+
+Architecture parity target: ``get_inception_resnet_v2_unet_softmax``
+(``reference DigiPathAI/models/inception.py:169-271``): IRv2 encoder (stem,
+mixed_5b, 10x block35 @0.17, mixed_6a, 20x block17 @0.1, mixed_7a,
+9x block8 @0.2 + 1x block8 @1.0 no-act, conv_7b 1536) with the same 5-stage
+U-Net decoder as the DenseNet variant and a 2-class softmax head.
+
+Encoder conv+BN pairs use ``scale=False`` batch norm (no gamma), Keras eps
+1e-3; residual-block output projections have bias and *no* BN
+(``reference inception.py:49-86,153-158``).  Unnamed Keras layers are mirrored
+via ``KerasNamer`` so checkpoints convert by name.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .densenet_unet import upsample2x
+from .keras_names import KerasNamer
+
+BN_EPS = 1e-3
+
+
+class InceptionResNetV2UNet(nn.Module):
+    num_classes: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
+        bn = partial(nn.BatchNorm, use_running_average=not train,
+                     momentum=0.99, epsilon=BN_EPS, dtype=self.dtype,
+                     param_dtype=jnp.float32)
+        he = nn.initializers.he_normal()
+        namer = KerasNamer()
+
+        def conv2d_bn(x, filters, kernel, strides=1, activation="relu",
+                      use_bias=False, name=None):
+            if isinstance(kernel, int):
+                kernel = (kernel, kernel)
+            cname = name if name is not None else namer.conv()
+            y = conv(filters, kernel, strides=(strides, strides),
+                     padding="SAME", use_bias=use_bias, name=cname)(x)
+            if not use_bias:
+                bname = (name + "_bn") if name is not None else namer.bn()
+                y = bn(use_scale=False, name=bname)(y)
+            if activation is not None:
+                y = nn.relu(y)
+            return y
+
+        def block35(x, scale, idx):
+            b0 = conv2d_bn(x, 32, 1)
+            b1 = conv2d_bn(x, 32, 1)
+            b1 = conv2d_bn(b1, 32, 3)
+            b2 = conv2d_bn(x, 32, 1)
+            b2 = conv2d_bn(b2, 48, 3)
+            b2 = conv2d_bn(b2, 64, 3)
+            return _residual(x, [b0, b1, b2], scale, f"block35_{idx}")
+
+        def block17(x, scale, idx):
+            b0 = conv2d_bn(x, 192, 1)
+            b1 = conv2d_bn(x, 128, 1)
+            b1 = conv2d_bn(b1, 160, (1, 7))
+            b1 = conv2d_bn(b1, 192, (7, 1))
+            return _residual(x, [b0, b1], scale, f"block17_{idx}")
+
+        def block8(x, scale, idx, activation="relu"):
+            b0 = conv2d_bn(x, 192, 1)
+            b1 = conv2d_bn(x, 192, 1)
+            b1 = conv2d_bn(b1, 224, (1, 3))
+            b1 = conv2d_bn(b1, 256, (3, 1))
+            return _residual(x, [b0, b1], scale, f"block8_{idx}", activation)
+
+        def _residual(x, branches, scale, name, activation="relu"):
+            mixed = jnp.concatenate(branches, axis=-1)
+            up = conv2d_bn(mixed, x.shape[-1], 1, activation=None,
+                           use_bias=True, name=name + "_conv")
+            y = x + up * scale
+            return nn.relu(y) if activation is not None else y
+
+        def conv_block(x, features):
+            # decoder block (reference inception.py:36-47): conv 3x3 same
+            # (bias, he_normal) + full BN + relu; unnamed in Keras
+            y = conv(features, (3, 3), padding="SAME", kernel_init=he,
+                     name=namer.conv())(x)
+            y = bn(name=namer.bn())(y)
+            return nn.relu(y)
+
+        def maxpool_same(x):
+            return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        x = x.astype(self.dtype)
+
+        # --- stem ---
+        y = conv2d_bn(x, 32, 3, strides=2)
+        y = conv2d_bn(y, 32, 3)
+        y = conv2d_bn(y, 64, 3)
+        conv1 = y
+        y = maxpool_same(y)
+        y = conv2d_bn(y, 80, 1)
+        y = conv2d_bn(y, 192, 3)
+        conv2 = y
+        y = maxpool_same(y)
+
+        # --- mixed_5b ---
+        b0 = conv2d_bn(y, 96, 1)
+        b1 = conv2d_bn(y, 48, 1)
+        b1 = conv2d_bn(b1, 64, 5)
+        b2 = conv2d_bn(y, 64, 1)
+        b2 = conv2d_bn(b2, 96, 3)
+        b2 = conv2d_bn(b2, 96, 3)
+        # TF average pooling excludes padded cells from the mean
+        bp = nn.avg_pool(y, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)
+        bp = conv2d_bn(bp, 64, 1)
+        y = jnp.concatenate([b0, b1, b2, bp], axis=-1)  # 320
+
+        for i in range(1, 11):
+            y = block35(y, 0.17, i)
+        conv3 = y
+
+        # --- mixed_6a ---
+        b0 = conv2d_bn(y, 384, 3, strides=2)
+        b1 = conv2d_bn(y, 256, 1)
+        b1 = conv2d_bn(b1, 256, 3)
+        b1 = conv2d_bn(b1, 384, 3, strides=2)
+        bp = maxpool_same(y)
+        y = jnp.concatenate([b0, b1, bp], axis=-1)  # 1088
+
+        for i in range(1, 21):
+            y = block17(y, 0.1, i)
+        conv4 = y
+
+        # --- mixed_7a ---
+        b0 = conv2d_bn(y, 256, 1)
+        b0 = conv2d_bn(b0, 384, 3, strides=2)
+        b1 = conv2d_bn(y, 256, 1)
+        b1 = conv2d_bn(b1, 288, 3, strides=2)
+        b2 = conv2d_bn(y, 256, 1)
+        b2 = conv2d_bn(b2, 288, 3)
+        b2 = conv2d_bn(b2, 320, 3, strides=2)
+        bp = maxpool_same(y)
+        y = jnp.concatenate([b0, b1, b2, bp], axis=-1)  # 2080
+
+        for i in range(1, 10):
+            y = block8(y, 0.2, i)
+        y = block8(y, 1.0, 10, activation=None)
+
+        y = conv2d_bn(y, 1536, 1, name="conv_7b")
+        conv5 = y
+
+        # --- decoder (identical scheme to the DenseNet variant) ---
+        y = conv_block(upsample2x(conv5), 320)
+        y = jnp.concatenate([y, conv4.astype(y.dtype)], axis=-1)
+        y = conv_block(y, 320)
+
+        y = conv_block(upsample2x(y), 256)
+        y = jnp.concatenate([y, conv3.astype(y.dtype)], axis=-1)
+        y = conv_block(y, 256)
+
+        y = conv_block(upsample2x(y), 128)
+        y = jnp.concatenate([y, conv2.astype(y.dtype)], axis=-1)
+        y = conv_block(y, 128)
+
+        y = conv_block(upsample2x(y), 96)
+        y = jnp.concatenate([y, conv1.astype(y.dtype)], axis=-1)
+        y = conv_block(y, 96)
+
+        y = conv_block(upsample2x(y), 64)
+        y = conv_block(y, 64)
+
+        logits = conv(self.num_classes, (1, 1), name=namer.conv())(y)
+        return nn.softmax(logits.astype(jnp.float32), axis=-1)

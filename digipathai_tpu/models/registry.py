@@ -1,0 +1,83 @@
+"""Model registry: build/init/apply bundles for the segmentation engine.
+
+Replaces the reference's name-substring dispatch ``load_trained_models``
+(``reference DigiPathAI/helpers/utils.py:427-448``) with an explicit
+registry. All models map (B, P, P, 3) normalized patches -> (B, P, P, 2)
+softmax probabilities.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class ModelBundle:
+    name: str
+    module: Any
+
+    def init(self, patch_size: int, seed: int = 0):
+        # jit the init: eager op-by-op init of a 121-conv network is ~10x
+        # slower than tracing + compiling it once
+        x = jnp.zeros((1, patch_size, patch_size, 3), jnp.float32)
+        init_fn = jax.jit(lambda k: self.module.init(k, x, train=False))
+        return jax.tree_util.tree_map(
+            lambda a: a, init_fn(jax.random.PRNGKey(seed)))
+
+    def apply(self, variables, x):
+        return self.module.apply(variables, x, train=False)
+
+
+def _build_dense(**kw) -> ModelBundle:
+    from .densenet_unet import DenseNet121UNet
+
+    return ModelBundle("dense", DenseNet121UNet(**kw))
+
+
+def _build_inception(**kw) -> ModelBundle:
+    from .inception_unet import InceptionResNetV2UNet
+
+    return ModelBundle("inception", InceptionResNetV2UNet(**kw))
+
+
+def _build_deeplabv3(**kw) -> ModelBundle:
+    from .deeplabv3 import DeepLabV3Plus
+
+    return ModelBundle("deeplabv3", DeepLabV3Plus(**kw))
+
+
+def _build_tiny(**kw) -> ModelBundle:
+    from .tiny_unet import TinyUNet
+
+    return ModelBundle("tiny", TinyUNet(**kw))
+
+
+def _build_oracle(**kw) -> ModelBundle:
+    from .oracle import OracleDarkness
+
+    return ModelBundle("oracle", OracleDarkness(**kw))
+
+
+_REGISTRY: Dict[str, Callable[..., ModelBundle]] = {
+    "dense": _build_dense,
+    "inception": _build_inception,
+    "deeplabv3": _build_deeplabv3,
+    "tiny": _build_tiny,
+    "oracle": _build_oracle,
+}
+
+
+def available_models():
+    return sorted(_REGISTRY)
+
+
+def build_model(name: str, **kw) -> ModelBundle:
+    for key, builder in _REGISTRY.items():
+        if key in name:
+            return builder(**kw)
+    raise ValueError(
+        f"Unknown model {name!r}, allowed models {available_models()}")

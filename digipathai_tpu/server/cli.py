@@ -1,0 +1,106 @@
+"""``digipathai`` console entry point.
+
+Flag parity target: ``reference DigiPathAI/main_server.py:245-297`` —
+``-s/--slide_dir, -B, -c, -d, -e, -f, -l, -p, -Q, -S, --viewer-only`` with
+the same precedence: CLI > config file > environment > defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import runpy
+import sys
+
+from .app import ServerConfig, create_app
+from .wsgi_kit import serve
+
+
+def build_config(argv=None) -> tuple:
+    parser = argparse.ArgumentParser(
+        prog="digipathai", usage="%(prog)s [options] [slide-directory]")
+    parser.add_argument("-s", "--slide_dir", default=None,
+                        help="Directory containing the images (default: .)")
+    parser.add_argument("-B", "--ignore-bounds", dest="limit_bounds",
+                        action="store_false", default=None,
+                        help="display entire scan area")
+    parser.add_argument("-c", "--config", metavar="FILE",
+                        help="config file (python, flask-style UPPERCASE names)")
+    parser.add_argument("-d", "--debug", action="store_true", default=None,
+                        help="run in debugging mode (insecure)")
+    parser.add_argument("-e", "--overlap", metavar="PIXELS", type=int,
+                        help="overlap of adjacent tiles [1]")
+    parser.add_argument("-f", "--format", metavar="{jpeg|png}",
+                        help="image format for tiles [jpeg]")
+    parser.add_argument("-l", "--listen", metavar="ADDRESS", dest="host",
+                        default="127.0.0.1", help="address to listen on")
+    parser.add_argument("-p", "--port", metavar="PORT", type=int, default=8080,
+                        help="port to listen on [8080]")
+    parser.add_argument("-Q", "--quality", metavar="QUALITY", type=int,
+                        help="JPEG compression quality [75]")
+    parser.add_argument("-S", "--size", metavar="PIXELS", type=int,
+                        help="tile size [254]")
+    parser.add_argument("--viewer-only", action="store_true", default=None,
+                        help="disable segmentation")
+    parser.add_argument("positional_dir", nargs="?", default=None)
+    opts = parser.parse_args(argv)
+
+    cfg = ServerConfig()
+    # environment (reference: DEEPZOOM_MULTISERVER_SETTINGS pyfile)
+    env_file = os.environ.get("DEEPZOOM_MULTISERVER_SETTINGS")
+    layers = []
+    if env_file:
+        layers.append(runpy.run_path(env_file))
+    if opts.config:
+        layers.append(runpy.run_path(opts.config))
+    mapping = {
+        "SLIDE_DIR": "slide_dir",
+        "SLIDE_CACHE_SIZE": "slide_cache_size",
+        "DEEPZOOM_FORMAT": "deepzoom_format",
+        "DEEPZOOM_TILE_SIZE": "deepzoom_tile_size",
+        "DEEPZOOM_OVERLAP": "deepzoom_overlap",
+        "DEEPZOOM_LIMIT_BOUNDS": "deepzoom_limit_bounds",
+        "DEEPZOOM_TILE_QUALITY": "deepzoom_tile_quality",
+        "VIEWER_ONLY": "viewer_only",
+        "DEBUG": "debug",
+    }
+    for layer in layers:
+        for k, attr in mapping.items():
+            if k in layer:
+                setattr(cfg, attr, layer[k])
+    # CLI overrides (only flags actually given)
+    cli_map = {
+        "slide_dir": "slide_dir", "limit_bounds": "deepzoom_limit_bounds",
+        "debug": "debug", "overlap": "deepzoom_overlap",
+        "format": "deepzoom_format", "quality": "deepzoom_tile_quality",
+        "size": "deepzoom_tile_size",
+    }
+    for opt_name, attr in cli_map.items():
+        v = getattr(opts, opt_name)
+        if v is not None:
+            setattr(cfg, attr, v)
+    if opts.positional_dir and opts.slide_dir is None:
+        cfg.slide_dir = opts.positional_dir
+    if cfg.slide_dir is None:
+        cfg.slide_dir = "."
+    cfg.viewer_only = bool(opts.viewer_only)  # reference: only True if flagged
+    return cfg, opts
+
+
+def main(argv=None):
+    cfg, opts = build_config(argv)
+    app = create_app(cfg)
+    httpd = serve(app, host=opts.host, port=opts.port)
+    print(f"DigiPathAI-TPU serving {os.path.abspath(cfg.slide_dir)} "
+          f"on http://{opts.host}:{httpd.server_port} "
+          f"(viewer_only={cfg.viewer_only})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        print("\nshutting down")
+        httpd.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,165 @@
+"""Model architecture and weight-converter tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from digipathai_tpu.models.registry import build_model
+
+
+def _param_count(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+
+
+class TestTinyUNet:
+    def test_forward_shape_and_softmax(self):
+        b = build_model("tiny")
+        v = b.init(64)
+        x = jnp.zeros((2, 64, 64, 3))
+        y = b.apply(v, x)
+        assert y.shape == (2, 64, 64, 2)
+        np.testing.assert_allclose(np.asarray(y.sum(-1)), 1.0, atol=1e-5)
+
+
+class TestDenseNetUNet:
+    @pytest.fixture(scope="class")
+    def bundle(self):
+        # float32 on CPU: bf16 convs hit slow fallback paths in XLA-CPU
+        return build_model("dense", dtype=jnp.float32)
+
+    @pytest.fixture(scope="class")
+    def variables(self, bundle):
+        return bundle.init(64)
+
+    def test_param_count_densenet121(self, variables):
+        # DenseNet-121 encoder is ~7.0M params; the U-Net decoder adds
+        # ~10.4M more (320/256/128/96/64 stages on wide concats) = ~17.4M.
+        n = _param_count(variables)
+        assert 16e6 < n < 19e6, n
+
+    def test_forward(self, bundle, variables):
+        x = jnp.zeros((1, 64, 64, 3))
+        y = bundle.apply(variables, x)
+        assert y.shape == (1, 64, 64, 2)
+        assert y.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(y.sum(-1)), 1.0, atol=1e-3)
+
+    def test_layer_names_match_keras_scheme(self, variables):
+        p = variables["params"]
+        for expected in ["conv1__conv", "conv1__bn", "conv2_block1_1_conv",
+                         "conv4_block24_2_conv", "pool2_conv", "bn",
+                         "conv2d", "conv2d_9", "conv2d_10",
+                         "batch_normalization_9"]:
+            assert expected in p, f"missing layer {expected}"
+        # final head is 2-class 1x1
+        assert p["conv2d_10"]["kernel"].shape == (1, 1, 64, 2)
+        # first conv is 7x7x3x64 stride-2 no-bias
+        assert p["conv1__conv"]["kernel"].shape == (7, 7, 3, 64)
+        assert "bias" not in p["conv1__conv"]
+        # encoder skips have the DenseNet-121 channel counts
+        assert p["pool2_conv"]["kernel"].shape[2] == 256  # 64 + 6*32
+        assert p["pool3_conv"]["kernel"].shape[2] == 512
+        assert p["pool4_conv"]["kernel"].shape[2] == 1024
+
+    def test_batch_stats_present(self, variables):
+        bs = variables["batch_stats"]
+        assert "conv1__bn" in bs and "mean" in bs["conv1__bn"]
+
+
+class TestH5Converter:
+    def _fake_keras_h5(self, path, variables):
+        """Emit variables as a Keras-save_weights-layout h5 (inverse map)."""
+        import h5py
+
+        inv = {("params", "kernel"): "kernel:0", ("params", "bias"): "bias:0",
+               ("params", "scale"): "gamma:0",
+               ("batch_stats", "mean"): "moving_mean:0",
+               ("batch_stats", "var"): "moving_variance:0"}
+        layers = {}
+        for coll in variables:
+            for lname, leaves in variables[coll].items():
+                kname = lname.replace("__", "/")
+                for leaf, arr in leaves.items():
+                    if coll == "params" and leaf == "bias" and (
+                            "bn" in lname or "normalization" in lname):
+                        suffix = "beta:0"
+                    else:
+                        suffix = inv[(coll, leaf)]
+                    layers.setdefault(kname, []).append((suffix, np.asarray(arr)))
+        with h5py.File(path, "w") as f:
+            f.attrs["layer_names"] = np.array(
+                sorted({ln.split("/")[0] for ln in layers}), dtype="S")
+            for kname, ws in layers.items():
+                top = kname.split("/")[0]
+                grp = f.require_group(top)
+                names = []
+                for suffix, arr in ws:
+                    wn = f"{kname}/{suffix}"
+                    grp.create_dataset(wn, data=arr)  # Keras: full path in group
+                    names.append(wn)
+                prev = [n.decode() if isinstance(n, bytes) else n
+                        for n in grp.attrs.get("weight_names", [])]
+                grp.attrs["weight_names"] = np.array(prev + names, dtype="S")
+
+    def test_roundtrip_tiny(self, tmp_path):
+        from digipathai_tpu.models.convert_h5 import keras_h5_to_flax
+
+        b = build_model("dense")
+        v = b.init(32, seed=3)
+        # perturb so the roundtrip is distinguishable from re-init
+        v = jax.tree_util.tree_map(lambda a: np.asarray(a) + 0.25, v)
+        p = tmp_path / "fake.h5"
+        self._fake_keras_h5(p, v)
+        template = b.init(32, seed=7)
+        out = keras_h5_to_flax(str(p), template, strict=True)
+        for coll in v:
+            a_leaves = jax.tree_util.tree_leaves(v[coll])
+            b_leaves = jax.tree_util.tree_leaves(out[coll])
+            assert len(a_leaves) == len(b_leaves)
+            for x, y in zip(a_leaves, b_leaves):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        import h5py
+
+        from digipathai_tpu.models.convert_h5 import keras_h5_to_flax
+
+        b = build_model("tiny")
+        template = b.init(32)
+        lname = next(iter(template["params"]))
+        with h5py.File(tmp_path / "bad.h5", "w") as f:
+            grp = f.require_group(lname)
+            grp.attrs["weight_names"] = [f"{lname}/kernel:0".encode()]
+            grp.create_dataset("kernel:0", data=np.zeros((9, 9, 9, 9), np.float32))
+            f.attrs["layer_names"] = [lname.encode()]
+        with pytest.raises(ValueError, match="shape mismatch"):
+            keras_h5_to_flax(str(tmp_path / "bad.h5"), template)
+
+
+class TestWeightsFallback:
+    def test_random_fallback_offline(self, tmp_path, monkeypatch):
+        from digipathai_tpu.models import weights
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path))
+        b = build_model("tiny")
+        v = weights.load_variables(b, "breast", "dense", patch_size=32)
+        assert "params" in v
+
+    def test_not_allow_random_raises(self, tmp_path, monkeypatch):
+        from digipathai_tpu.models import weights
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path))
+        b = build_model("tiny")
+        with pytest.raises(IOError):
+            weights.load_variables(b, "breast", "dense", 32, allow_random=False)
+
+    def test_mode_paths(self):
+        from digipathai_tpu.models import weights
+
+        assert weights.h5_url("colon", "dense").endswith("digestpath_densenet.h5")
+        assert weights.h5_url("breast", "deeplabv3").endswith("camelyon_deeplabv3.h5")
+        assert weights.h5_url("liver", "inception").endswith("paip_inception.h5")
