@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Headline benchmark: ensemble x TTA patch throughput per chip.
+
+Measures the engine's hot path — the jitted step from
+``digipathai_tpu.engine.infer.build_step``: device-side uint8 normalize,
+full 3-model ensemble (DenseNet121-UNet + InceptionResNetV2-UNet +
+DeepLabv3+) x 5 TTA variants (DEFAULT + flip + 3 rotations) forward in
+bfloat16, inverse TTA, mean/var reduction and the on-device supertile
+scatter-add. This is BASELINE.json config 4 minus CRF (CRF is flag-gated
+off in the reference too, ``reference Segmentation.py:327-331``).
+
+Metric: input patches/sec/chip (each patch costs 15 forward passes).
+vs_baseline: ratio to the v5e-8 north-star requirement of 312
+patches/sec/chip, derived from BASELINE.json's <60 s CAMELYON16 target:
+a representative slide has ~150k tissue patches at stride 128
+(SURVEY.md §6); 150_000 / (60 s x 8 chips) = 312.5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dpai_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+TARGET_PPS_PER_CHIP = 312.5  # see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from digipathai_tpu.engine.infer import build_step
+    from digipathai_tpu.models.registry import build_model
+    from digipathai_tpu.ops.stitch import make_accumulator
+
+    patch, batch, supertile = 256, 32, 4096
+    tta = ["DEFAULT", "FLIP_LEFT_RIGHT", "ROTATE_90", "ROTATE_180", "ROTATE_270"]
+    names = ["dense", "inception", "deeplabv3"]
+    quick = os.environ.get("DPAI_BENCH_QUICK") == "1"
+    if quick:
+        names, tta = ["dense"], ["DEFAULT"]
+
+    t0 = time.time()
+    bundles = [build_model(n, dtype=jnp.bfloat16) for n in names]
+    variables = tuple(b.init(patch) for b in bundles)
+    print(f"# init {time.time() - t0:.1f}s on {jax.devices()[0].platform}",
+          file=sys.stderr)
+
+    step = build_step(bundles, tta, patch, with_checksum=True)
+    rng = np.random.default_rng(0)
+    patches = jnp.asarray(rng.integers(0, 255, (batch, patch, patch, 3), np.uint8))
+    offsets = jnp.asarray(
+        rng.integers(0, supertile, (batch, 2)).astype(np.int32))
+    valid = jnp.ones((batch,), bool)
+    acc = make_accumulator(supertile, patch)
+
+    t0 = time.time()
+    acc, checksum = step(variables, acc, patches, offsets, valid)
+    # fetch the scalar: forces real completion (block_until_ready is a no-op
+    # on some remote backends)
+    _ = float(jax.device_get(checksum))
+    print(f"# compile+first step {time.time() - t0:.1f}s", file=sys.stderr)
+
+    iters = 3 if quick else 10
+    t0 = time.time()
+    for _ in range(iters):
+        acc, checksum = step(variables, acc, patches, offsets, valid)
+    _ = float(jax.device_get(checksum))  # programs run in order: last done => all done
+    dt = (time.time() - t0) / iters
+    pps = batch / dt
+
+    print(json.dumps({
+        "metric": "ensemble5tta_patches_per_sec_per_chip" if not quick
+        else "quick_patches_per_sec_per_chip",
+        "value": round(pps, 2),
+        "unit": "256px patches/s/chip (3 models x 5 TTA, bf16, stitched)"
+        if not quick else "256px patches/s/chip (1 model, no TTA)",
+        "vs_baseline": round(pps / TARGET_PPS_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

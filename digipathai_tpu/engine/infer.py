@@ -23,12 +23,15 @@ from ..ops.stitch import stitch_batch
 
 
 def build_step(bundles: Sequence, tta_list: Sequence[str], patch: int,
-               faithful_tta: bool = False, compute_dtype=jnp.bfloat16):
+               faithful_tta: bool = False, compute_dtype=jnp.bfloat16,
+               with_checksum: bool = False):
     """Returns ``step(variables_list, acc, patches_u8, offsets, valid)``.
 
     ``variables_list`` is a tuple of flax variable pytrees (one per model);
     ``acc`` is donated.  The same compiled step serves every batch of every
-    supertile (static shapes).
+    supertile (static shapes).  With ``with_checksum`` the step also returns
+    a scalar mean of the batch predictions — fetching it forces completion
+    (used by the benchmark; some backends' block_until_ready is a no-op).
     """
     chains = tta_ops.effective_transforms(tta_list, faithful=faithful_tta)
 
@@ -45,7 +48,10 @@ def build_step(bundles: Sequence, tta_list: Sequence[str], patch: int,
         stack = jnp.stack(preds)                          # (K, B, P, P)
         mean = jnp.mean(stack, axis=0)
         var = jnp.var(stack, axis=0)
-        return stitch_batch(acc, mean, var, offsets, valid, patch=patch)
+        acc = stitch_batch(acc, mean, var, offsets, valid, patch=patch)
+        if with_checksum:
+            return acc, jnp.mean(mean)
+        return acc
 
     return step
 
