@@ -1,0 +1,161 @@
+"""Mean-field dense-CRF refinement on TPU.
+
+Parity target (semantics): ``post_process_crf``
+(``reference DigiPathAI/helpers/utils.py:568-603``) — unary from softmax
+(clip 1e-5), a position-only Gaussian pairwise term (sdims 10, compat 3) and
+a bilateral position+color term (sdims 50, schan 20, compat 10), 10
+mean-field iterations, argmax.  Note the reference's call site is commented
+out (``reference Segmentation.py:327-331``): ``crf=True`` is accepted and
+ignored there.  Here the flag actually works.
+
+TPU redesign: pydensecrf's permutohedral-lattice filtering is a
+host-sequential scatter/gather structure that does not map to the MXU/VPU.
+Instead:
+
+- the **Gaussian** term is computed *exactly*: a Gaussian-weighted pairwise
+  sum is a plain convolution, implemented as separable 1-D depthwise convs
+  (truncated at 3 sigma).
+- the **bilateral** term uses the ConvCRF-style truncated-window
+  approximation (Teichmann & Cipolla, 2018) evaluated at a downsampled
+  resolution: messages are accumulated over a (2r+1)^2 shift window with
+  weights exp(-|dp|^2 / 2 s_xy^2 - |I_i - I_j|^2 / 2 s_rgb^2), excluding the
+  self term.  Long-range color interactions beyond ``r * downsample`` pixels
+  are truncated — the documented accuracy tradeoff vs. the lattice.
+
+Both messages enter the logits with Potts weights exactly as pydensecrf's
+``PottsCompatibility`` does: logit_l = -U_l + sum_m w_m (k_m * Q)_l.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k.astype(np.float32)
+
+
+def _blur2d(x: jnp.ndarray, sigma: float, radius: int) -> jnp.ndarray:
+    """Separable (unnormalized) Gaussian filtering of (H, W, C)."""
+    k = jnp.asarray(_gaussian_kernel1d(sigma, radius))
+    c = x.shape[-1]
+    xb = x[None]  # (1, H, W, C)
+    kh = jnp.tile(k[:, None, None, None], (1, 1, 1, c))  # (K, 1, 1, C)
+    xb = lax.conv_general_dilated(
+        xb, kh, (1, 1), [(radius, radius), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    kw = jnp.tile(k[None, :, None, None], (1, 1, 1, c))
+    xb = lax.conv_general_dilated(
+        xb, kw, (1, 1), [(0, 0), (radius, radius)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    return xb[0]
+
+
+def _gaussian_message(q: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Exact symmetric-normalized Gaussian pairwise message (self excluded)."""
+    radius = int(3 * sigma)
+    ones = jnp.ones(q.shape[:2] + (1,), q.dtype)
+    d = _blur2d(ones, sigma, radius)  # degree (includes self weight 1)
+    inv_sqrt_d = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-12))
+    qt = q * inv_sqrt_d
+    m = _blur2d(qt, sigma, radius) * inv_sqrt_d
+    # remove the self term: k(i,i)=1 -> contribution Q_i / d_i
+    return m - q / jnp.maximum(d, 1e-12)
+
+
+def _bilateral_message(q: jnp.ndarray, image: jnp.ndarray, sigma_xy: float,
+                       sigma_rgb: float, radius: int) -> jnp.ndarray:
+    """Truncated-window bilateral message with per-pixel normalization."""
+    h, w, L = q.shape
+    img = image.astype(jnp.float32)
+    num = jnp.zeros_like(q)
+    den = jnp.zeros(q.shape[:2] + (1,), q.dtype)
+    inv2_xy = 0.5 / (sigma_xy * sigma_xy)
+    inv2_c = 0.5 / (sigma_rgb * sigma_rgb)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx == 0 and dy == 0:
+                continue
+            sq = jnp.roll(q, (dy, dx), axis=(0, 1))
+            si = jnp.roll(img, (dy, dx), axis=(0, 1))
+            wgt = jnp.exp(
+                -(dy * dy + dx * dx) * inv2_xy
+                - jnp.sum((img - si) ** 2, -1, keepdims=True) * inv2_c)
+            # mask out wrap-around rows/cols from roll
+            ys = jnp.zeros((h, 1, 1), q.dtype).at[max(0, dy):h + min(0, dy)].set(1.0)
+            xs = jnp.zeros((1, w, 1), q.dtype).at[:, max(0, dx):w + min(0, dx)].set(1.0)
+            wgt = wgt * ys * xs
+            num = num + wgt * sq
+            den = den + wgt
+    return num / jnp.maximum(den, 1e-12)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "pos_sigma", "bil_sigma_xy",
+                                   "bil_sigma_rgb", "bil_downsample",
+                                   "bil_radius", "compat_gaussian",
+                                   "compat_bilateral"))
+def mean_field_crf(image_u8: jnp.ndarray, probs_fg: jnp.ndarray,
+                   n_iters: int = 10, pos_sigma: float = 10.0,
+                   bil_sigma_xy: float = 50.0, bil_sigma_rgb: float = 20.0,
+                   bil_downsample: int = 4, bil_radius: int = 10,
+                   compat_gaussian: float = 3.0,
+                   compat_bilateral: float = 10.0) -> jnp.ndarray:
+    """Refine a foreground-probability map given its RGB image.
+
+    Args:
+      image_u8: (H, W, 3) uint8.
+      probs_fg: (H, W) float32 in [0, 1].
+    Returns the refined foreground probability (H, W) float32.
+    """
+    h, w = probs_fg.shape
+    q = jnp.stack([1.0 - probs_fg, probs_fg], axis=-1)
+    u = -jnp.log(jnp.clip(q, 1e-5, 1.0))  # unary_from_softmax w/ clip
+
+    ds = bil_downsample
+    hd, wd = h // ds, w // ds
+    img_small = image_u8[:hd * ds, :wd * ds].astype(jnp.float32)
+    img_small = img_small.reshape(hd, ds, wd, ds, 3).mean((1, 3))
+    sig_xy_small = bil_sigma_xy / ds
+
+    for _ in range(n_iters):
+        m_gauss = _gaussian_message(q, pos_sigma)
+        q_small = q[:hd * ds, :wd * ds].reshape(hd, ds, wd, ds, 2).mean((1, 3))
+        m_bil_small = _bilateral_message(
+            q_small, img_small, sig_xy_small, bil_sigma_rgb, bil_radius)
+        m_bil = jnp.repeat(jnp.repeat(m_bil_small, ds, 0), ds, 1)
+        m_bil = jnp.pad(m_bil, ((0, h - hd * ds), (0, w - wd * ds), (0, 0)),
+                        mode="edge")
+        logits = -u + compat_gaussian * m_gauss + compat_bilateral * m_bil
+        q = jax.nn.softmax(logits, axis=-1)
+    return q[..., 1]
+
+
+def refine_slide_crf(slide, mean_map, supertile: int = 4096,
+                     n_iters: int = 10, **kw) -> None:
+    """Apply mean-field CRF per supertile, updating ``mean_map`` in place.
+
+    ``mean_map`` is the finalized (Y, X) float32 probability memmap; the
+    matching RGB pixels are re-read from the slide per supertile.
+    """
+    import numpy as np
+
+    Y, X = mean_map.shape
+    for y0 in range(0, Y, supertile):
+        for x0 in range(0, X, supertile):
+            y1, x1 = min(y0 + supertile, Y), min(x0 + supertile, X)
+            probs = np.asarray(mean_map[y0:y1, x0:x1], np.float32)
+            if probs.max() <= 0:
+                continue  # nothing to refine in glass-only regions
+            img = slide.read_region((x0, y0), 0, (x1 - x0, y1 - y0))
+            refined = mean_field_crf(jnp.asarray(img), jnp.asarray(probs),
+                                     n_iters=n_iters, **kw)
+            mean_map[y0:y1, x0:x1] = np.asarray(jax.device_get(refined))
+    if hasattr(mean_map, "flush"):
+        mean_map.flush()

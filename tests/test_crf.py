@@ -1,0 +1,81 @@
+"""CRF refinement tests (behavioral: denoising + edge snapping)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from digipathai_tpu.ops.crf import mean_field_crf
+
+
+@pytest.fixture()
+def square_scene(rng):
+    """A dark square on a light background with a noisy prob map."""
+    h = w = 96
+    img = np.full((h, w, 3), 230, np.uint8)
+    img[24:72, 24:72] = 70  # dark object
+    probs = np.zeros((h, w), np.float32)
+    probs[24:72, 24:72] = 0.9
+    noisy = probs.copy()
+    # salt noise outside + pepper noise inside
+    ys, xs = rng.integers(0, 24, 40), rng.integers(0, w, 40)
+    noisy[ys, xs] = 0.85
+    ys, xs = rng.integers(30, 60, 40), rng.integers(30, 60, 40)
+    noisy[ys, xs] = 0.1
+    return img, probs, noisy
+
+
+class TestMeanFieldCRF:
+    def test_denoises_isolated_pixels(self, square_scene):
+        img, clean, noisy = square_scene
+        out = np.asarray(mean_field_crf(jnp.asarray(img), jnp.asarray(noisy),
+                                        n_iters=5, bil_radius=5))
+        got = out > 0.5
+        want = clean > 0.5
+        # refined mask should be much closer to the clean square
+        err_before = np.mean((noisy > 0.5) != want)
+        err_after = np.mean(got != want)
+        assert err_after < err_before * 0.5
+        # isolated salt pixels outside the object vanish
+        assert got[:20, :].sum() == 0
+
+    def test_preserves_confident_interior(self, square_scene):
+        img, clean, _ = square_scene
+        out = np.asarray(mean_field_crf(jnp.asarray(img), jnp.asarray(clean),
+                                        n_iters=3, bil_radius=5))
+        assert (out[34:62, 34:62] > 0.5).all()
+        assert (out[:16, :16] < 0.5).all()
+
+    def test_shapes_and_range(self, rng):
+        img = rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+        p = rng.random((64, 80)).astype(np.float32)
+        out = np.asarray(mean_field_crf(jnp.asarray(img), jnp.asarray(p),
+                                        n_iters=2, bil_radius=3))
+        assert out.shape == (64, 80)
+        assert (out >= 0).all() and (out <= 1).all()
+
+
+class TestEngineCRFFlag:
+    def test_crf_flag_runs_end_to_end(self, tmp_path, monkeypatch):
+        from tests.fixtures import make_synthetic_slide
+        from digipathai_tpu.engine.segmentation import getSegmentation
+        from digipathai_tpu.io.slide import Slide
+        from digipathai_tpu.utils.metrics import jaccard
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = tmp_path / "crf-slide.tiff"
+        meta = make_synthetic_slide(str(p), 512, 512, seed=11)
+        out = getSegmentation(
+            img_path=str(p), patch_size=128, stride_size=128, batch_size=8,
+            quick=True, model="oracle", mode="colon", crf=True,
+            probs_path=str(tmp_path / "p.tiff"),
+            mask_path=str(tmp_path / "m.tiff"),
+            uncertainty_path=str(tmp_path / "u.tiff"),
+            supertile=512, num_workers=2)
+        with Slide(str(tmp_path / "m.tiff")) as sm:
+            lvl = sm.level_count - 1
+            m = sm.read_level(lvl)[:, :, 0] > 127
+            ds = 512 // sm.level_dimensions[lvl][0]
+        gt = meta["lesion_mask"][::ds, ::ds][:m.shape[0], :m.shape[1]]
+        assert jaccard(m, gt) > 0.6
