@@ -1,0 +1,146 @@
+"""ctypes binding for the C++ libtiff backend (digipathai_tpu/native).
+
+Same interface as ``tiff_py.TiffReader`` / ``write_pyramidal_tiff`` so
+``backend.open_tiff`` can swap implementations transparently.  Build with
+``make -C digipathai_tpu/native``; auto-builds on first use if a compiler is
+available (set ``DPAI_NATIVE=0`` to opt out entirely).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO = os.path.abspath(os.path.join(_DIR, "libdpai_tiff.so"))
+
+_lib = None
+_lib_lock = threading.Lock()
+_COMP = {"raw": 1, "lzw": 5, "jpeg": 7, "deflate": 8}
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO):
+            try:
+                subprocess.run(["make", "-C", os.path.abspath(_DIR), "-s"],
+                               check=True, capture_output=True, timeout=120)
+            except (OSError, subprocess.SubprocessError) as e:
+                raise RuntimeError(f"native build failed: {e}") from e
+        lib = ctypes.CDLL(_SO)
+        lib.dpai_open.restype = ctypes.c_void_p
+        lib.dpai_open.argtypes = [ctypes.c_char_p]
+        lib.dpai_close.argtypes = [ctypes.c_void_p]
+        lib.dpai_level_count.argtypes = [ctypes.c_void_p]
+        lib.dpai_level_count.restype = ctypes.c_int
+        lib.dpai_level_info.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.POINTER(ctypes.c_uint32)]
+        lib.dpai_level_info.restype = ctypes.c_int
+        lib.dpai_description.argtypes = [ctypes.c_void_p]
+        lib.dpai_description.restype = ctypes.c_char_p
+        lib.dpai_read_region.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint8)]
+        lib.dpai_read_region.restype = ctypes.c_int
+        lib.dpai_write_pyramid.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_double]
+        lib.dpai_write_pyramid.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except RuntimeError:
+        return False
+
+
+@dataclass
+class _Page:
+    width: int
+    height: int
+    tile_width: int
+    tile_height: int
+    samples: int
+    bits: int
+    description: str = ""
+    sample_format: int = 1
+
+
+class NativeTiffReader:
+    """libtiff-backed reader; always returns 3-channel uint8 regions."""
+
+    def __init__(self, path: str, tile_cache_size: int = 0):
+        lib = _load()
+        self._lib = lib
+        self._h = lib.dpai_open(str(path).encode())
+        if not self._h:
+            raise ValueError(f"{path}: not a TIFF file (native open failed)")
+        n = lib.dpai_level_count(self._h)
+        desc = (lib.dpai_description(self._h) or b"").decode("utf-8", "replace")
+        self.pages: List[_Page] = []
+        info = (ctypes.c_uint32 * 6)()
+        for i in range(n):
+            lib.dpai_level_info(self._h, i, info)
+            self.pages.append(_Page(
+                width=int(info[0]), height=int(info[1]),
+                tile_width=int(info[2]), tile_height=int(info[3]),
+                samples=3, bits=int(info[5]),
+                description=desc if i == 0 else ""))
+
+    def read_region(self, level: int, x: int, y: int, w: int, h: int) -> np.ndarray:
+        out = np.empty((h, w, 3), np.uint8)
+        rc = self._lib.dpai_read_region(
+            self._h, level, int(x), int(y), int(w), int(h),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise IOError(f"native read_region failed (rc={rc})")
+        return out
+
+    def read_whole(self, level: int) -> np.ndarray:
+        p = self.pages[level]
+        return self.read_region(level, 0, 0, p.width, p.height)
+
+    def close(self):
+        if self._h:
+            self._lib.dpai_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_pyramidal_tiff(path, array, tile=256, compression="jpeg",
+                         quality=90, description="", mpp=None,
+                         scratch_dir=None):
+    arr = np.ascontiguousarray(array)
+    if arr.dtype != np.uint8:
+        raise NotImplementedError("native writer handles uint8 only")
+    h, w = arr.shape[:2]
+    channels = arr.shape[2] if arr.ndim == 3 else 1
+    if channels not in (1, 3):
+        raise NotImplementedError(f"native writer: {channels} channels")
+    lib = _load()
+    rc = lib.dpai_write_pyramid(
+        str(path).encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w, h, channels, tile, _COMP[compression], quality,
+        (description or "").encode(), float(mpp or 0.0))
+    if rc != 0:
+        raise IOError(f"native write_pyramid failed (rc={rc})")
+    return path

@@ -1,0 +1,331 @@
+// DigiPathAI-TPU native slide I/O: libtiff-backed tile reader + pyramid writer.
+//
+// First-party replacement for the reference's native surface (OpenSlide region
+// decode, tifffile writes and the ImageMagick `convert ... ptif:` subprocess;
+// see SURVEY.md §2.3). Exposed as a C ABI consumed via ctypes
+// (digipathai_tpu/io/native.py); the pure-Python implementation in
+// io/tiff_py.py is the behavioral reference.
+//
+// Concurrency: libtiff handles are not thread-safe, so the reader keeps a
+// small pool of TIFF* handles per file; concurrent read_region calls check
+// handles out under a mutex and decode in parallel (ctypes releases the GIL).
+
+#include <tiffio.h>
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct LevelInfo {
+  uint32_t width = 0, height = 0;
+  uint32_t tile_w = 0, tile_h = 0;
+  uint16_t samples = 1, bits = 8;
+  uint16_t compression = 1, photometric = 1;
+};
+
+struct Reader {
+  std::string path;
+  std::vector<LevelInfo> levels;
+  std::string description;
+  // handle pool
+  std::vector<TIFF *> pool;
+  std::vector<bool> busy;
+  std::mutex mu;
+  std::condition_variable cv;
+};
+
+TIFF *checkout(Reader *r) {
+  std::unique_lock<std::mutex> lk(r->mu);
+  for (;;) {
+    for (size_t i = 0; i < r->pool.size(); ++i) {
+      if (!r->busy[i]) {
+        r->busy[i] = true;
+        return r->pool[i];
+      }
+    }
+    if (r->pool.size() < 8) {
+      TIFF *t = TIFFOpen(r->path.c_str(), "rm");
+      if (!t) return nullptr;
+      r->pool.push_back(t);
+      r->busy.push_back(true);
+      return t;
+    }
+    r->cv.wait(lk);
+  }
+}
+
+void checkin(Reader *r, TIFF *t) {
+  std::lock_guard<std::mutex> lk(r->mu);
+  for (size_t i = 0; i < r->pool.size(); ++i) {
+    if (r->pool[i] == t) {
+      r->busy[i] = false;
+      break;
+    }
+  }
+  r->cv.notify_one();
+}
+
+}  // namespace
+
+extern "C" {
+
+void *dpai_open(const char *path) {
+  TIFF *t = TIFFOpen(path, "rm");
+  if (!t) return nullptr;
+  auto *r = new Reader();
+  r->path = path;
+  do {
+    LevelInfo li;
+    TIFFGetField(t, TIFFTAG_IMAGEWIDTH, &li.width);
+    TIFFGetField(t, TIFFTAG_IMAGELENGTH, &li.height);
+    TIFFGetField(t, TIFFTAG_TILEWIDTH, &li.tile_w);
+    TIFFGetField(t, TIFFTAG_TILELENGTH, &li.tile_h);
+    TIFFGetFieldDefaulted(t, TIFFTAG_SAMPLESPERPIXEL, &li.samples);
+    TIFFGetFieldDefaulted(t, TIFFTAG_BITSPERSAMPLE, &li.bits);
+    TIFFGetFieldDefaulted(t, TIFFTAG_COMPRESSION, &li.compression);
+    TIFFGetFieldDefaulted(t, TIFFTAG_PHOTOMETRIC, &li.photometric);
+    if (r->levels.empty()) {
+      char *desc = nullptr;
+      if (TIFFGetField(t, TIFFTAG_IMAGEDESCRIPTION, &desc) && desc)
+        r->description = desc;
+    }
+    r->levels.push_back(li);
+  } while (TIFFReadDirectory(t));
+  r->pool.push_back(t);
+  r->busy.push_back(false);
+  return r;
+}
+
+void dpai_close(void *h) {
+  auto *r = static_cast<Reader *>(h);
+  for (TIFF *t : r->pool) TIFFClose(t);
+  delete r;
+}
+
+int dpai_level_count(void *h) {
+  return static_cast<int>(static_cast<Reader *>(h)->levels.size());
+}
+
+// out: w, h, tile_w, tile_h, samples, bits
+int dpai_level_info(void *h, int level, uint32_t *out) {
+  auto *r = static_cast<Reader *>(h);
+  if (level < 0 || level >= (int)r->levels.size()) return -1;
+  const LevelInfo &li = r->levels[level];
+  out[0] = li.width;
+  out[1] = li.height;
+  out[2] = li.tile_w;
+  out[3] = li.tile_h;
+  out[4] = li.samples;
+  out[5] = li.bits;
+  return 0;
+}
+
+const char *dpai_description(void *h) {
+  return static_cast<Reader *>(h)->description.c_str();
+}
+
+// Reads a (w x h) RGB region at `level` into out (h*w*3 bytes, row-major).
+// Out-of-bounds pixels are zero-filled. Uses the RGBA codepath so JPEG/YCbCr
+// tiled slides decode correctly.
+int dpai_read_region(void *h, int level, int64_t x, int64_t y, uint32_t w,
+                     uint32_t h_out, uint8_t *out) {
+  auto *r = static_cast<Reader *>(h);
+  if (level < 0 || level >= (int)r->levels.size()) return -1;
+  const LevelInfo &li = r->levels[level];
+  TIFF *t = checkout(r);
+  if (!t) return -2;
+  if (!TIFFSetDirectory(t, (uint16_t)level)) {
+    checkin(r, t);
+    return -3;
+  }
+  std::memset(out, 0, (size_t)w * h_out * 3);
+
+  int rc = 0;
+  if (li.tile_w == 0) {  // stripped image: read whole rows via RGBA strips
+    uint32_t rps = 0;
+    TIFFGetFieldDefaulted(t, TIFFTAG_ROWSPERSTRIP, &rps);
+    if (rps == 0 || rps > li.height) rps = li.height;
+    std::vector<uint32_t> strip((size_t)li.width * rps);
+    int64_t y0 = y < 0 ? 0 : y;
+    int64_t y1 = std::min<int64_t>(y + h_out, li.height);
+    for (int64_t sy = (y0 / rps) * rps; sy < y1; sy += rps) {
+      if (!TIFFReadRGBAStrip(t, (uint32_t)sy, strip.data())) {
+        rc = -4;
+        break;
+      }
+      uint32_t sh = std::min<uint32_t>(rps, li.height - (uint32_t)sy);
+      // RGBA strips are bottom-up within the strip
+      for (uint32_t row = 0; row < sh; ++row) {
+        int64_t gy = sy + row;
+        if (gy < y || gy >= y + (int64_t)h_out || gy >= (int64_t)li.height)
+          continue;
+        const uint32_t *src = strip.data() + (size_t)(sh - 1 - row) * li.width;
+        int64_t gx0 = x < 0 ? 0 : x;
+        int64_t gx1 = std::min<int64_t>(x + w, li.width);
+        uint8_t *dst = out + ((size_t)(gy - y) * w + (gx0 - x)) * 3;
+        for (int64_t gx = gx0; gx < gx1; ++gx) {
+          uint32_t px = src[gx];
+          dst[0] = TIFFGetR(px);
+          dst[1] = TIFFGetG(px);
+          dst[2] = TIFFGetB(px);
+          dst += 3;
+        }
+      }
+    }
+  } else {
+    std::vector<uint32_t> tile((size_t)li.tile_w * li.tile_h);
+    int64_t tx0 = std::max<int64_t>(0, x) / li.tile_w;
+    int64_t ty0 = std::max<int64_t>(0, y) / li.tile_h;
+    int64_t tx1 = std::min<int64_t>(li.width - 1, x + w - 1) / li.tile_w;
+    int64_t ty1 = std::min<int64_t>(li.height - 1, y + h_out - 1) / li.tile_h;
+    for (int64_t ty = ty0; ty <= ty1 && rc == 0; ++ty) {
+      for (int64_t tx = tx0; tx <= tx1; ++tx) {
+        if (!TIFFReadRGBATile(t, (uint32_t)(tx * li.tile_w),
+                              (uint32_t)(ty * li.tile_h), tile.data())) {
+          rc = -4;
+          break;
+        }
+        int64_t px0 = std::max<int64_t>(x, tx * li.tile_w);
+        int64_t py0 = std::max<int64_t>(y, ty * li.tile_h);
+        int64_t px1 = std::min<int64_t>(x + w, (tx + 1) * li.tile_w);
+        int64_t py1 = std::min<int64_t>(y + h_out, (ty + 1) * li.tile_h);
+        px1 = std::min<int64_t>(px1, li.width);
+        py1 = std::min<int64_t>(py1, li.height);
+        for (int64_t gy = py0; gy < py1; ++gy) {
+          // RGBA tiles are bottom-up
+          uint32_t row_in_tile = (uint32_t)(gy - ty * li.tile_h);
+          const uint32_t *src =
+              tile.data() + (size_t)(li.tile_h - 1 - row_in_tile) * li.tile_w +
+              (px0 - tx * li.tile_w);
+          uint8_t *dst = out + ((size_t)(gy - y) * w + (px0 - x)) * 3;
+          for (int64_t gx = px0; gx < px1; ++gx) {
+            uint32_t px = *src++;
+            dst[0] = TIFFGetR(px);
+            dst[1] = TIFFGetG(px);
+            dst[2] = TIFFGetB(px);
+            dst += 3;
+          }
+        }
+      }
+    }
+  }
+  checkin(r, t);
+  return rc;
+}
+
+// ---------------------------------------------------------------------------
+// Pyramid writer: tiled multi-directory TIFF, 2x2 mean downsample chain.
+// compression: 1=none, 5=lzw, 7=jpeg, 8=deflate.
+int dpai_write_pyramid(const char *path, const uint8_t *base, uint64_t width,
+                       uint64_t height, int channels, int tile,
+                       int compression, int quality, const char *description,
+                       double mpp) {
+  if (channels != 1 && channels != 3) return -1;
+  bool big = (width * height * (uint64_t)channels) > (2ull << 30);
+  TIFF *t = TIFFOpen(path, big ? "w8" : "w");
+  if (!t) return -2;
+
+  // build the level chain (level 0 borrows `base`)
+  std::vector<std::vector<uint8_t>> owned;
+  std::vector<const uint8_t *> ptrs;
+  std::vector<std::pair<uint64_t, uint64_t>> dims;
+  ptrs.push_back(base);
+  dims.push_back({width, height});
+  while (std::max(dims.back().first, dims.back().second) > (uint64_t)tile) {
+    uint64_t w = dims.back().first, h = dims.back().second;
+    uint64_t nw = std::max<uint64_t>(1, w / 2), nh = std::max<uint64_t>(1, h / 2);
+    const uint8_t *src = ptrs.back();
+    owned.emplace_back((size_t)nw * nh * channels);
+    uint8_t *dst = owned.back().data();
+    for (uint64_t yy = 0; yy < nh; ++yy) {
+      const uint8_t *r0 = src + (2 * yy) * w * channels;
+      const uint8_t *r1 =
+          src + std::min<uint64_t>(2 * yy + 1, h - 1) * w * channels;
+      for (uint64_t xx = 0; xx < nw; ++xx) {
+        uint64_t x1 = std::min<uint64_t>(2 * xx + 1, w - 1);
+        for (int c = 0; c < channels; ++c) {
+          uint32_t sum = r0[2 * xx * channels + c] + r0[x1 * channels + c] +
+                         r1[2 * xx * channels + c] + r1[x1 * channels + c];
+          dst[(yy * nw + xx) * channels + c] = (uint8_t)((sum + 2) / 4);
+        }
+      }
+    }
+    ptrs.push_back(owned.back().data());
+    dims.push_back({nw, nh});
+  }
+
+  std::vector<uint8_t> tbuf((size_t)tile * tile * channels);
+  for (size_t lvl = 0; lvl < ptrs.size(); ++lvl) {
+    uint64_t w = dims[lvl].first, h = dims[lvl].second;
+    TIFFSetField(t, TIFFTAG_IMAGEWIDTH, (uint32_t)w);
+    TIFFSetField(t, TIFFTAG_IMAGELENGTH, (uint32_t)h);
+    TIFFSetField(t, TIFFTAG_BITSPERSAMPLE, 8);
+    TIFFSetField(t, TIFFTAG_SAMPLESPERPIXEL, channels);
+    TIFFSetField(t, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+    TIFFSetField(t, TIFFTAG_TILEWIDTH, (uint32_t)tile);
+    TIFFSetField(t, TIFFTAG_TILELENGTH, (uint32_t)tile);
+    TIFFSetField(t, TIFFTAG_COMPRESSION, (uint16_t)compression);
+    if (compression == COMPRESSION_JPEG) {
+      TIFFSetField(t, TIFFTAG_JPEGQUALITY, quality);
+      TIFFSetField(t, TIFFTAG_PHOTOMETRIC,
+                   channels == 3 ? PHOTOMETRIC_YCBCR : PHOTOMETRIC_MINISBLACK);
+      if (channels == 3) TIFFSetField(t, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
+    } else {
+      TIFFSetField(t, TIFFTAG_PHOTOMETRIC,
+                   channels == 3 ? PHOTOMETRIC_RGB : PHOTOMETRIC_MINISBLACK);
+    }
+    if (lvl == 0) {
+      std::string desc = description ? description : "";
+      if (mpp > 0) {
+        if (!desc.empty()) desc += "|";
+        desc += "mpp=" + std::to_string(mpp);
+        TIFFSetField(t, TIFFTAG_RESOLUTIONUNIT, RESUNIT_CENTIMETER);
+        TIFFSetField(t, TIFFTAG_XRESOLUTION, (float)(10000.0 / mpp));
+        TIFFSetField(t, TIFFTAG_YRESOLUTION, (float)(10000.0 / mpp));
+      }
+      if (!desc.empty())
+        TIFFSetField(t, TIFFTAG_IMAGEDESCRIPTION, desc.c_str());
+    } else {
+      TIFFSetField(t, TIFFTAG_SUBFILETYPE, FILETYPE_REDUCEDIMAGE);
+    }
+    const uint8_t *src = ptrs[lvl];
+    for (uint64_t ty = 0; ty < h; ty += tile) {
+      for (uint64_t tx = 0; tx < w; tx += tile) {
+        uint32_t bh = (uint32_t)std::min<uint64_t>(tile, h - ty);
+        uint32_t bw = (uint32_t)std::min<uint64_t>(tile, w - tx);
+        std::memset(tbuf.data(), 0, tbuf.size());
+        for (uint32_t yy = 0; yy < bh; ++yy)
+          std::memcpy(tbuf.data() + (size_t)yy * tile * channels,
+                      src + ((ty + yy) * w + tx) * channels,
+                      (size_t)bw * channels);
+        // replicate edges so JPEG padding doesn't bleed dark
+        for (uint32_t yy = 0; yy < bh; ++yy)
+          for (uint32_t xx = bw; xx < (uint32_t)tile; ++xx)
+            std::memcpy(tbuf.data() + ((size_t)yy * tile + xx) * channels,
+                        tbuf.data() + ((size_t)yy * tile + bw - 1) * channels,
+                        channels);
+        for (uint32_t yy = bh; yy < (uint32_t)tile; ++yy)
+          std::memcpy(tbuf.data() + (size_t)yy * tile * channels,
+                      tbuf.data() + (size_t)(bh - 1) * tile * channels,
+                      (size_t)tile * channels);
+        if (TIFFWriteTile(t, tbuf.data(), (uint32_t)tx, (uint32_t)ty, 0, 0) < 0) {
+          TIFFClose(t);
+          return -3;
+        }
+      }
+    }
+    if (!TIFFWriteDirectory(t)) {
+      TIFFClose(t);
+      return -4;
+    }
+  }
+  TIFFClose(t);
+  return 0;
+}
+
+}  // extern "C"
