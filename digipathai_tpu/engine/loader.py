@@ -35,11 +35,12 @@ class PatchLoader:
     """Iterates device-ready batches for every supertile group in the plan."""
 
     def __init__(self, slide, plan: PatchPlan, num_workers: int = 8,
-                 queue_depth: int = 4):
+                 queue_depth: int = 4, skip_groups=None):
         self.slide = slide
         self.plan = plan
         self.num_workers = max(1, num_workers)
         self.queue_depth = queue_depth
+        self.skip_groups = set(skip_groups or ())
         self._err: Optional[BaseException] = None
 
     def _read_patch(self, x: int, y: int) -> np.ndarray:
@@ -68,6 +69,7 @@ class PatchLoader:
     def __iter__(self) -> Iterator[Batch]:
         plan = self.plan
         work = [(gi, bi) for gi, g in enumerate(plan.groups)
+                if gi not in self.skip_groups
                 for bi in range(len(g.coords) // plan.batch)]
         out: "queue.Queue" = queue.Queue(maxsize=self.queue_depth)
         stop = threading.Event()

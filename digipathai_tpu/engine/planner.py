@@ -60,7 +60,7 @@ def plan_patches(slide, patch: int = 256, stride: int = 128, batch: int = 32,
                  supertile: int = 4096, roi_masking: bool = True,
                  mask_level: int = -1) -> PatchPlan:
     """Build the static-shape patch plan for one slide."""
-    from ..ops.morphology import morpho_process_mask, tissue_mask
+    from ..ops.morphology import plan_mask
 
     level = slide.level_count - 1  # reference forces the coarsest level
     downsample = int(round(slide.level_downsamples[level]))
@@ -70,8 +70,8 @@ def plan_patches(slide, patch: int = 256, stride: int = 128, batch: int = 32,
     img = slide.read_level(level)                      # (h, w, 3)
     img_xyc = np.ascontiguousarray(np.transpose(img, (1, 0, 2)))  # (X, Y, 3)
 
-    mask = np.asarray(tissue_mask(img_xyc))
-    mask = np.asarray(morpho_process_mask(mask.astype(np.uint8), min(level, 4)))
+    # one fused XLA call: tissue mask + morphology (see ops.morphology.plan_mask)
+    mask = np.asarray(plan_mask(img_xyc, min(level, 4)))
 
     X_mask, Y_mask = mask.shape
     if X_slide // X_mask != Y_slide // Y_mask:

@@ -25,6 +25,7 @@ from ..models.registry import build_model
 from ..models import weights as weights_mod
 from ..ops import tta as tta_ops
 from ..ops.stitch import make_accumulator
+from ..utils.profiling import StageTimer, maybe_profile
 from .infer import build_step
 from .loader import PatchLoader
 from .planner import plan_patches
@@ -38,6 +39,18 @@ def _memmap_dir() -> Path:
     d = weights_mod.cache_dir() / "memmaps"
     d.mkdir(parents=True, exist_ok=True)
     return d
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-run compiles are expensive
+    (especially through remote-compile TPU relays); every later run is warm."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        d = weights_mod.cache_dir() / "jax_cache"
+        d.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(d))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _status_set(status_obj, **kw):
@@ -64,6 +77,8 @@ def getSegmentation(img_path,
                     *,
                     supertile: int = 4096,
                     num_workers: int = 8,
+                    data_parallel: bool | int = True,
+                    resume: bool = False,
                     faithful_tta: bool = False,
                     allow_random_weights: bool = True,
                     save_float_probs: bool = False,
@@ -81,6 +96,7 @@ def getSegmentation(img_path,
     from ..io.slide import Slide
     from ..io.tiff_py import PyramidalTiffWriter
 
+    _enable_compile_cache()
     mode = mode.lower()
     if mode not in weights_mod.MODES:
         raise ValueError(
@@ -113,27 +129,81 @@ def getSegmentation(img_path,
             v = b.init(patch_size)
         variables_list.append(v)
 
+    # --- device topology -------------------------------------------------
+    import jax
+
+    n_dev = 1
+    if data_parallel:
+        avail = len(jax.devices())
+        n_dev = min(avail, data_parallel) if isinstance(data_parallel, int) \
+            and data_parallel is not True else avail
+    global_batch = batch_size * n_dev
+
     # --- plan + maps -----------------------------------------------------
     _status_set(status, status="Running segmentation")
+    timer = StageTimer()
     slide = Slide(str(img_path))
-    plan = plan_patches(slide, patch=patch_size, stride=stride_size,
-                        batch=batch_size, supertile=supertile,
-                        mask_level=mask_level)
+    with timer.stage("plan"):
+        plan = plan_patches(slide, patch=patch_size, stride=stride_size,
+                            batch=global_batch, supertile=supertile,
+                            mask_level=mask_level)
     X, Y = plan.slide_dims
     stem = Path(str(img_path)).stem
     mdir = _memmap_dir()
-    mean_map = np.memmap(mdir / f"{stem}-mean.dat", np.float32, "w+", shape=(Y, X))
-    var_map = np.memmap(mdir / f"{stem}-var.dat", np.float32, "w+", shape=(Y, X))
-    count_map = np.memmap(mdir / f"{stem}-count.dat", np.float32, "w+", shape=(Y, X))
 
-    step = build_step(bundles, tta_full, patch_size, faithful_tta=faithful_tta,
-                      compute_dtype=compute_dtype)
+    # --- restartable stitching state (SURVEY.md §5: new vs reference) ----
+    import hashlib
+    import json
+
+    cfg_key = hashlib.sha256(repr((
+        X, Y, patch_size, stride_size, global_batch, supertile,
+        tuple(model_names), tuple(tta_full), faithful_tta)).encode()).hexdigest()
+    state_path = mdir / f"{stem}-stitch.json"
+    completed: set = set()
+    mode_mm = "w+"
+    if resume and state_path.exists():
+        try:
+            state = json.loads(state_path.read_text())
+            if state.get("config") == cfg_key:
+                completed = set(state.get("completed", []))
+                mode_mm = "r+"
+        except (ValueError, OSError):
+            pass
+
+    mean_map = np.memmap(mdir / f"{stem}-mean.dat", np.float32, mode_mm, shape=(Y, X))
+    var_map = np.memmap(mdir / f"{stem}-var.dat", np.float32, mode_mm, shape=(Y, X))
+    count_map = np.memmap(mdir / f"{stem}-count.dat", np.float32, mode_mm, shape=(Y, X))
+
+    def save_state():
+        tmp = state_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(
+            {"config": cfg_key, "completed": sorted(completed)}))
+        os.replace(tmp, state_path)
+
     variables_tuple = tuple(variables_list)
+    if n_dev > 1:
+        from ..parallel import inference as par
 
-    import jax
+        mesh = par.make_dp_mesh(n_dev)
+        step = par.build_sharded_step(
+            bundles, tta_full, patch_size, mesh, faithful_tta=faithful_tta,
+            compute_dtype=compute_dtype)
+        new_acc = lambda: par.make_sharded_accumulator(  # noqa: E731
+            mesh, supertile, patch_size)
+        fetch_acc = lambda a: par.reduce_accumulator(mesh, a)  # noqa: E731
+        place = lambda b: par.shard_batch(  # noqa: E731
+            mesh, b.patches, b.offsets, b.valid)
+    else:
+        step = build_step(bundles, tta_full, patch_size,
+                          faithful_tta=faithful_tta,
+                          compute_dtype=compute_dtype)
+        new_acc = lambda: make_accumulator(supertile, patch_size)  # noqa: E731
+        fetch_acc = lambda a: a  # noqa: E731
+        place = lambda b: (b.patches, b.offsets, b.valid)  # noqa: E731
 
     total_batches = max(plan.total_batches, 1)
-    done = 0
+    done = sum(len(plan.groups[gi].coords) // global_batch
+               for gi in completed if gi < len(plan.groups))
     acc = None
     cur_group = -1
 
@@ -144,34 +214,43 @@ def getSegmentation(img_path,
         hy = min(supertile + patch_size, Y - oy)
         # transpose on device (free layout change) so host writeback is
         # row-contiguous in the (Y, X) memmaps
-        host = np.asarray(jax.device_get(jnp.transpose(acc, (0, 2, 1))))
-        mean_map[oy:oy + hy, ox:ox + hx] += host[0, :hy, :hx]
-        var_map[oy:oy + hy, ox:ox + hx] += host[1, :hy, :hx]
-        count_map[oy:oy + hy, ox:ox + hx] += host[2, :hy, :hx]
+        with timer.stage("flush"):
+            host = np.asarray(jax.device_get(
+                jnp.transpose(fetch_acc(acc), (0, 2, 1))))
+            mean_map[oy:oy + hy, ox:ox + hx] += host[0, :hy, :hx]
+            var_map[oy:oy + hy, ox:ox + hx] += host[1, :hy, :hx]
+            count_map[oy:oy + hy, ox:ox + hx] += host[2, :hy, :hx]
+        completed.add(gi)
+        save_state()
 
-    for batch in PatchLoader(slide, plan, num_workers=num_workers):
-        if batch.group_index != cur_group:
-            if acc is not None:
-                flush(acc, cur_group)
-            acc = make_accumulator(supertile, patch_size)
-            cur_group = batch.group_index
-        acc = step(variables_tuple, acc, batch.patches, batch.offsets, batch.valid)
-        done += 1
-        _status_set(status, progress=int(done * 100.0 / total_batches))
-        if progress_cb is not None:
-            progress_cb(done, total_batches)
-    if acc is not None:
-        flush(acc, cur_group)
+    with maybe_profile("segmentation"):
+        for batch in PatchLoader(slide, plan, num_workers=num_workers,
+                                 skip_groups=completed):
+            if batch.group_index != cur_group:
+                if acc is not None:
+                    flush(acc, cur_group)
+                acc = new_acc()
+                cur_group = batch.group_index
+            with timer.stage("infer"):
+                patches_d, offsets_d, valid_d = place(batch)
+                acc = step(variables_tuple, acc, patches_d, offsets_d, valid_d)
+            done += 1
+            _status_set(status, progress=int(done * 100.0 / total_batches))
+            if progress_cb is not None:
+                progress_cb(done, total_batches)
+        if acc is not None:
+            flush(acc, cur_group)
 
     # --- finalize (chunked): mean /= count, var /= count^2 ---------------
     CHUNK = 4096
-    for y0 in range(0, Y, CHUNK):
-        y1 = min(y0 + CHUNK, Y)
-        c = np.maximum(count_map[y0:y1], 1.0)
-        mean_map[y0:y1] /= c
-        var_map[y0:y1] /= c * c
-    mean_map.flush()
-    var_map.flush()
+    with timer.stage("finalize"):
+        for y0 in range(0, Y, CHUNK):
+            y1 = min(y0 + CHUNK, Y)
+            c = np.maximum(count_map[y0:y1], 1.0)
+            mean_map[y0:y1] /= c
+            var_map[y0:y1] /= c * c
+        mean_map.flush()
+        var_map.flush()
 
     if crf:
         from ..ops.crf import refine_slide_crf
@@ -181,6 +260,10 @@ def getSegmentation(img_path,
 
     # --- write artifacts -------------------------------------------------
     def write_u8(path, transform):
+        with timer.stage("write"):
+            return _write_u8_inner(path, transform)
+
+    def _write_u8_inner(path, transform):
         tmp = np.memmap(mdir / f"{stem}-u8.dat", np.uint8, "w+", shape=(Y, X))
         for y0 in range(0, Y, CHUNK):
             y1 = min(y0 + CHUNK, Y)
@@ -204,19 +287,26 @@ def getSegmentation(img_path,
     _status_set(status, progress=100)
     _status_set(status, status="Saving Prediction Mask...")
     mask_mm = np.memmap(mdir / f"{stem}-maskbin.dat", np.uint8, "w+", shape=(Y, X))
-    for y0 in range(0, Y, CHUNK):
-        y1 = min(y0 + CHUNK, Y)
-        mask_mm[y0:y1] = np.where(mean_map[y0:y1] >= threshold, 255, 0).astype(np.uint8)
-    mask_mm.flush()
-    with PyramidalTiffWriter(str(mask_path), X, Y, channels=1, dtype=np.uint8,
-                             compression="jpeg", quality=90,
-                             scratch_dir=str(mdir)) as wr:
-        wr.write_base(mask_mm)
+    with timer.stage("write"):
+        for y0 in range(0, Y, CHUNK):
+            y1 = min(y0 + CHUNK, Y)
+            mask_mm[y0:y1] = np.where(
+                mean_map[y0:y1] >= threshold, 255, 0).astype(np.uint8)
+        mask_mm.flush()
+        with PyramidalTiffWriter(str(mask_path), X, Y, channels=1,
+                                 dtype=np.uint8, compression="jpeg",
+                                 quality=90, scratch_dir=str(mdir)) as wr:
+            wr.write_base(mask_mm)
 
     _status_set(status, status="Saving Prediction Uncertanity...")
     write_u8(uncertainty_path, lambda a, b: np.clip(
         np.round(var_map[a:b] * 255.0), 0, 255).astype(np.uint8))
     _status_set(status, progress=0)
+
+    timings = timer.summary()
+    _status_set(status, timings=timings)
+    print(f"[dpai] {plan.total_patches} patches "
+          f"({len(plan.groups)} supertiles, {n_dev} device(s)): {timings}")
 
     slide.close()
     # reference returns the thresholded map in (X, Y) orientation

@@ -14,6 +14,8 @@ erode pads 1), which is what reduce_window's init value provides.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -49,23 +51,38 @@ def open_(mask: jnp.ndarray, k: int) -> jnp.ndarray:
     return dilate(erode(mask, k), k)
 
 
+def _dilate_kernel_for_level(level: int) -> int:
+    if level <= 2:
+        return 60
+    if level == 3:
+        return 35
+    if level == 4:
+        return 10
+    raise ValueError(f"no dilation kernel fixed for level {level}")
+
+
 def morpho_process_mask(mask: jnp.ndarray, level: int) -> jnp.ndarray:
     """close(20) -> open(5) -> dilate(60|35|10) by mask level.
 
     Parity target: ``BinMorphoProcessMaskOS``
     (``reference DigiPathAI/helpers/utils.py:200-219``).
     """
+    k = _dilate_kernel_for_level(level)
     m = close(mask, 20)
     m = open_(m, 5)
-    if level <= 2:
-        k = 60
-    elif level == 3:
-        k = 35
-    elif level == 4:
-        k = 10
-    else:
-        raise ValueError(f"no dilation kernel fixed for level {level}")
     return dilate(m, k)
+
+
+@partial(jax.jit, static_argnames=("level",))
+def plan_mask(img_xyc_u8: jnp.ndarray, level: int) -> jnp.ndarray:
+    """Tissue mask + morphology as ONE XLA program.
+
+    Fusing matters beyond fusion itself: on remote-dispatch TPU backends
+    every jitted call pays a relay round-trip, so the planner issues exactly
+    one device call instead of ~12.
+    """
+    m = _tissue_mask_core(img_xyc_u8)
+    return morpho_process_mask(m, level)
 
 
 @jax.jit

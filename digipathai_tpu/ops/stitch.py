@@ -42,7 +42,8 @@ def stitch_batch(acc, mean_p, var_p, offsets, valid, *, patch: int):
         w = ok.astype(jnp.float32)
         dx, dy = off[0], off[1]
         win = lax.dynamic_slice(acc, (0, dx, dy), (3, patch, patch))
-        upd = win + jnp.stack([m * w, v * w, jnp.full_like(m, w)], axis=0)
+        ones = jnp.ones_like(m) * w  # not full_like: shard_map vma-safe
+        upd = win + jnp.stack([m * w, v * w, ones], axis=0)
         return lax.dynamic_update_slice(acc, upd, (0, dx, dy)), None
 
     acc, _ = lax.scan(body, acc, (mean_p, var_p, offsets, valid))

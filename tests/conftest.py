@@ -7,13 +7,19 @@ TPU analog of a fake backend.
 
 import os
 
-# Must run before the first `import jax` anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before any backend initialization. The environment's
+# sitecustomize programmatically sets jax_platforms="axon,cpu" (real TPU via
+# a relay), so overriding the env var is not enough — update jax.config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dpai_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

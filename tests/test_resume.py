@@ -1,0 +1,74 @@
+"""Restartable stitching: interrupted runs resume without redoing work."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+class TestResume:
+    def _run(self, path, tmp_path, resume, interrupt_after=None, tag="r"):
+        from digipathai_tpu.engine.segmentation import getSegmentation
+
+        calls = {"n": 0}
+
+        def cb(done, total):
+            calls["n"] = done
+            if interrupt_after is not None and done >= interrupt_after:
+                raise KeyboardInterrupt
+
+        try:
+            out = getSegmentation(
+                img_path=path, patch_size=128, stride_size=64, batch_size=4,
+                quick=True, model="oracle", mode="breast",
+                probs_path=str(tmp_path / f"{tag}p.tiff"),
+                mask_path=str(tmp_path / f"{tag}m.tiff"),
+                uncertainty_path=str(tmp_path / f"{tag}u.tiff"),
+                supertile=256, num_workers=2, data_parallel=False,
+                resume=resume, progress_cb=cb)
+            return out, calls["n"]
+        except KeyboardInterrupt:
+            return None, calls["n"]
+
+    def test_resume_after_interrupt_matches_clean_run(self, tmp_path, monkeypatch):
+        from tests.fixtures import make_synthetic_slide
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = str(tmp_path / "res-slide.tiff")
+        make_synthetic_slide(p, 512, 512, seed=31)
+
+        # clean reference run
+        ref, total = self._run(p, tmp_path, resume=False, tag="a")
+        assert ref is not None and total > 4
+
+        # interrupted run, then resume
+        out, n1 = self._run(p, tmp_path, resume=False,
+                            interrupt_after=total // 2, tag="b")
+        assert out is None
+        out2, n2 = self._run(p, tmp_path, resume=True, tag="b")
+        assert out2 is not None
+        # resume skipped completed supertiles: fewer new batches than total
+        state = json.loads(
+            next((tmp_path / "cache").glob("memmaps/*-stitch.json")).read_text())
+        assert state["completed"]
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
+
+    def test_config_change_invalidates_state(self, tmp_path, monkeypatch):
+        from tests.fixtures import make_synthetic_slide
+        from digipathai_tpu.engine.segmentation import getSegmentation
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = str(tmp_path / "cfg-slide.tiff")
+        make_synthetic_slide(p, 512, 512, seed=32)
+        kw = dict(img_path=p, patch_size=128, batch_size=4, quick=True,
+                  model="oracle", mode="breast",
+                  probs_path=str(tmp_path / "p.tiff"),
+                  mask_path=str(tmp_path / "m.tiff"),
+                  uncertainty_path=str(tmp_path / "u.tiff"),
+                  supertile=256, num_workers=2, data_parallel=False)
+        getSegmentation(stride_size=128, **kw)
+        # different stride -> state invalid -> full rerun, still correct
+        out = getSegmentation(stride_size=64, resume=True, **kw)
+        assert set(np.unique(np.asarray(out))) <= {0, 255}
