@@ -43,8 +43,12 @@ def main():
     tta = ["DEFAULT", "FLIP_LEFT_RIGHT", "ROTATE_90", "ROTATE_180", "ROTATE_270"]
     names = ["dense", "inception", "deeplabv3"]
     quick = os.environ.get("DPAI_BENCH_QUICK") == "1"
+    tile_mode = os.environ.get("DPAI_BENCH_MODE") == "tile"
     if quick:
         names, tta = ["dense"], ["DEFAULT"]
+
+    if tile_mode:
+        return bench_tile(names, tta, patch)
 
     t0 = time.time()
     bundles = [build_model(n, dtype=jnp.bfloat16) for n in names]
@@ -82,6 +86,48 @@ def main():
         "unit": "256px patches/s/chip (3 models x 5 TTA, bf16, stitched)"
         if not quick else "256px patches/s/chip (1 model, no TTA)",
         "vs_baseline": round(pps / TARGET_PPS_PER_CHIP, 3),
+    }))
+
+
+def bench_tile(names, tta, patch):
+    """Fully-convolutional tile mode: report stride-128-patch *equivalents*
+    per second (each stride-128 patch contributes 128^2 fresh pixels, so
+    equivalents = pixels_per_sec / 128^2 — directly comparable to the
+    patch-mode metric and to the 312.5 north-star requirement)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from digipathai_tpu.engine.tile_infer import build_tile_step
+    from digipathai_tpu.models.registry import build_model
+
+    tile, halo, stride = 1024, patch // 2, 128
+    bundles = [build_model(n, dtype=jnp.bfloat16) for n in names]
+    variables = tuple(b.init(tile + 2 * halo) for b in bundles)
+    step = build_tile_step(bundles, tta, tile, halo)
+    rng = np.random.default_rng(0)
+    tile_u8 = jnp.asarray(
+        rng.integers(0, 255, (tile + 2 * halo, tile + 2 * halo, 3), np.uint8))
+
+    t0 = time.time()
+    mean, var = step(variables, tile_u8)
+    _ = float(jax.device_get(jnp.mean(mean)))
+    print(f"# tile compile+first {time.time() - t0:.1f}s", file=sys.stderr)
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        mean, var = step(variables, tile_u8)
+    _ = float(jax.device_get(jnp.mean(mean)))
+    dt = (time.time() - t0) / iters
+    equiv_pps = (tile * tile) / (stride * stride) / dt
+
+    print(json.dumps({
+        "metric": "tile_mode_patch_equivalents_per_sec_per_chip",
+        "value": round(equiv_pps, 2),
+        "unit": "stride-128 patch equivalents/s/chip (3 models x 5 TTA, "
+                "fully-convolutional supertiles)",
+        "vs_baseline": round(equiv_pps / TARGET_PPS_PER_CHIP, 3),
     }))
 
 

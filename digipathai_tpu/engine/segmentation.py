@@ -79,6 +79,7 @@ def getSegmentation(img_path,
                     num_workers: int = 8,
                     data_parallel: bool | int = True,
                     resume: bool = False,
+                    inference_mode: str = "patch",
                     faithful_tta: bool = False,
                     allow_random_weights: bool = True,
                     save_float_probs: bool = False,
@@ -157,7 +158,8 @@ def getSegmentation(img_path,
 
     cfg_key = hashlib.sha256(repr((
         X, Y, patch_size, stride_size, global_batch, supertile,
-        tuple(model_names), tuple(tta_full), faithful_tta)).encode()).hexdigest()
+        tuple(model_names), tuple(tta_full), faithful_tta,
+        inference_mode)).encode()).hexdigest()
     state_path = mdir / f"{stem}-stitch.json"
     completed: set = set()
     mode_mm = "w+"
@@ -181,65 +183,80 @@ def getSegmentation(img_path,
         os.replace(tmp, state_path)
 
     variables_tuple = tuple(variables_list)
-    if n_dev > 1:
-        from ..parallel import inference as par
+    if inference_mode == "tile":
+        from .tile_infer import run_tile_inference
 
-        mesh = par.make_dp_mesh(n_dev)
-        step = par.build_sharded_step(
-            bundles, tta_full, patch_size, mesh, faithful_tta=faithful_tta,
-            compute_dtype=compute_dtype)
-        new_acc = lambda: par.make_sharded_accumulator(  # noqa: E731
-            mesh, supertile, patch_size)
-        fetch_acc = lambda a: par.reduce_accumulator(mesh, a)  # noqa: E731
-        place = lambda b: par.shard_batch(  # noqa: E731
-            mesh, b.patches, b.offsets, b.valid)
+        if (supertile + patch_size) % 32 != 0:
+            raise ValueError(
+                "tile mode needs (supertile + patch_size) divisible by 32")
+        with maybe_profile("tile_segmentation"):
+            run_tile_inference(
+                slide, plan, bundles, variables_tuple, tta_full,
+                mean_map, var_map, count_map, halo=patch_size // 2,
+                status=status, timer=timer, progress_cb=progress_cb,
+                compute_dtype=compute_dtype, completed=completed,
+                on_group_done=lambda gi: save_state())
     else:
-        step = build_step(bundles, tta_full, patch_size,
-                          faithful_tta=faithful_tta,
-                          compute_dtype=compute_dtype)
-        new_acc = lambda: make_accumulator(supertile, patch_size)  # noqa: E731
-        fetch_acc = lambda a: a  # noqa: E731
-        place = lambda b: (b.patches, b.offsets, b.valid)  # noqa: E731
+        if n_dev > 1:
+            from ..parallel import inference as par
 
-    total_batches = max(plan.total_batches, 1)
-    done = sum(len(plan.groups[gi].coords) // global_batch
-               for gi in completed if gi < len(plan.groups))
-    acc = None
-    cur_group = -1
+            mesh = par.make_dp_mesh(n_dev)
+            step = par.build_sharded_step(
+                bundles, tta_full, patch_size, mesh,
+                faithful_tta=faithful_tta, compute_dtype=compute_dtype)
+            new_acc = lambda: par.make_sharded_accumulator(  # noqa: E731
+                mesh, supertile, patch_size)
+            fetch_acc = lambda a: par.reduce_accumulator(mesh, a)  # noqa: E731
+            place = lambda b: par.shard_batch(  # noqa: E731
+                mesh, b.patches, b.offsets, b.valid)
+        else:
+            step = build_step(bundles, tta_full, patch_size,
+                              faithful_tta=faithful_tta,
+                              compute_dtype=compute_dtype)
+            new_acc = lambda: make_accumulator(supertile, patch_size)  # noqa: E731
+            fetch_acc = lambda a: a  # noqa: E731
+            place = lambda b: (b.patches, b.offsets, b.valid)  # noqa: E731
 
-    def flush(acc, gi):
-        g = plan.groups[gi]
-        ox, oy = g.origin
-        hx = min(supertile + patch_size, X - ox)
-        hy = min(supertile + patch_size, Y - oy)
-        # transpose on device (free layout change) so host writeback is
-        # row-contiguous in the (Y, X) memmaps
-        with timer.stage("flush"):
-            host = np.asarray(jax.device_get(
-                jnp.transpose(fetch_acc(acc), (0, 2, 1))))
-            mean_map[oy:oy + hy, ox:ox + hx] += host[0, :hy, :hx]
-            var_map[oy:oy + hy, ox:ox + hx] += host[1, :hy, :hx]
-            count_map[oy:oy + hy, ox:ox + hx] += host[2, :hy, :hx]
-        completed.add(gi)
-        save_state()
+        total_batches = max(plan.total_batches, 1)
+        done = sum(len(plan.groups[gi].coords) // global_batch
+                   for gi in completed if gi < len(plan.groups))
+        acc = None
+        cur_group = -1
 
-    with maybe_profile("segmentation"):
-        for batch in PatchLoader(slide, plan, num_workers=num_workers,
-                                 skip_groups=completed):
-            if batch.group_index != cur_group:
-                if acc is not None:
-                    flush(acc, cur_group)
-                acc = new_acc()
-                cur_group = batch.group_index
-            with timer.stage("infer"):
-                patches_d, offsets_d, valid_d = place(batch)
-                acc = step(variables_tuple, acc, patches_d, offsets_d, valid_d)
-            done += 1
-            _status_set(status, progress=int(done * 100.0 / total_batches))
-            if progress_cb is not None:
-                progress_cb(done, total_batches)
-        if acc is not None:
-            flush(acc, cur_group)
+        def flush(acc, gi):
+            g = plan.groups[gi]
+            ox, oy = g.origin
+            hx = min(supertile + patch_size, X - ox)
+            hy = min(supertile + patch_size, Y - oy)
+            # transpose on device (free layout change) so host writeback is
+            # row-contiguous in the (Y, X) memmaps
+            with timer.stage("flush"):
+                host = np.asarray(jax.device_get(
+                    jnp.transpose(fetch_acc(acc), (0, 2, 1))))
+                mean_map[oy:oy + hy, ox:ox + hx] += host[0, :hy, :hx]
+                var_map[oy:oy + hy, ox:ox + hx] += host[1, :hy, :hx]
+                count_map[oy:oy + hy, ox:ox + hx] += host[2, :hy, :hx]
+            completed.add(gi)
+            save_state()
+
+        with maybe_profile("segmentation"):
+            for batch in PatchLoader(slide, plan, num_workers=num_workers,
+                                     skip_groups=completed):
+                if batch.group_index != cur_group:
+                    if acc is not None:
+                        flush(acc, cur_group)
+                    acc = new_acc()
+                    cur_group = batch.group_index
+                with timer.stage("infer"):
+                    patches_d, offsets_d, valid_d = place(batch)
+                    acc = step(variables_tuple, acc, patches_d, offsets_d,
+                               valid_d)
+                done += 1
+                _status_set(status, progress=int(done * 100.0 / total_batches))
+                if progress_cb is not None:
+                    progress_cb(done, total_batches)
+            if acc is not None:
+                flush(acc, cur_group)
 
     # --- finalize (chunked): mean /= count, var /= count^2 ---------------
     CHUNK = 4096

@@ -1,0 +1,79 @@
+"""Fully-convolutional tile mode vs patch mode."""
+
+import numpy as np
+import pytest
+
+
+class TestTileMode:
+    def test_oracle_exact_match_with_patch_mode(self, tmp_path, monkeypatch):
+        """For a pointwise model the two modes are mathematically identical."""
+        from tests.fixtures import make_synthetic_slide
+        from digipathai_tpu.engine.segmentation import getSegmentation
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = str(tmp_path / "t-slide.tiff")
+        make_synthetic_slide(p, 512, 512, seed=41)
+        outs = {}
+        for mode in ("patch", "tile"):
+            out = getSegmentation(
+                img_path=p, patch_size=128, stride_size=64, batch_size=4,
+                quick=True, model="oracle", mode="breast",
+                probs_path=str(tmp_path / f"{mode}-p.tiff"),
+                mask_path=str(tmp_path / f"{mode}-m.tiff"),
+                uncertainty_path=str(tmp_path / f"{mode}-u.tiff"),
+                supertile=384, num_workers=2, data_parallel=False,
+                inference_mode=mode)
+            outs[mode] = np.asarray(out).copy()
+        # tile mode covers every pixel of tissue supertiles; patch mode only
+        # strided-tissue patches. Compare where patch mode computed anything.
+        both = (outs["patch"] > 0) & (outs["tile"] > 0)
+        assert both.sum() > 1000
+        # patch-mode positives must be tile-mode positives (same pointwise fn)
+        assert ((outs["patch"] > 0) <= (outs["tile"] > 0)).all()
+
+    def test_tiny_cnn_interior_close(self, rng):
+        """CNN tile forward ~= stitched overlapping patches in the interior."""
+        import jax.numpy as jnp
+
+        from digipathai_tpu.engine.infer import predict_batch
+        from digipathai_tpu.engine.tile_infer import build_tile_step
+        from digipathai_tpu.models.registry import build_model
+
+        bundle = build_model("tiny", dtype=jnp.float32)
+        v = bundle.init(64)
+        img = rng.integers(0, 255, (192, 192, 3)).astype(np.uint8)
+
+        # tile forward over the whole image (tile=128 + halo=32)
+        step = build_tile_step([bundle], ["DEFAULT"], 128, 32,
+                               compute_dtype=jnp.float32)
+        mean_tile, _ = step((v,), jnp.asarray(img))
+        mean_tile = np.asarray(mean_tile)  # (128, 128) center
+
+        # patch forward of the center crop
+        patch = img[32:160, 32:160][None]
+        m, _ = predict_batch([bundle], [v], jnp.asarray(patch),
+                             compute_dtype=jnp.float32)
+        mean_patch = np.asarray(m)[0, :, :, 1]
+
+        # away from the patch's own borders (receptive field ~ 16px) the two
+        # must agree closely
+        inner = slice(24, 104)
+        diff = np.abs(mean_tile[inner, inner] - mean_patch[inner, inner])
+        assert diff.max() < 1e-4
+
+    def test_divisibility_validation(self, tmp_path, monkeypatch):
+        from tests.fixtures import make_synthetic_slide
+        from digipathai_tpu.engine.segmentation import getSegmentation
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = str(tmp_path / "d-slide.tiff")
+        make_synthetic_slide(p, 256, 256, seed=42)
+        with pytest.raises(ValueError, match="divisible"):
+            getSegmentation(img_path=p, patch_size=100, supertile=300,
+                            quick=True, model="oracle", mode="breast",
+                            inference_mode="tile",
+                            probs_path=str(tmp_path / "p.tiff"),
+                            mask_path=str(tmp_path / "m.tiff"),
+                            uncertainty_path=str(tmp_path / "u.tiff"))
