@@ -70,6 +70,26 @@ def _gaussian_message(q: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return m - q / jnp.maximum(d, 1e-12)
 
 
+def _use_pallas_bilateral() -> bool:
+    import os
+
+    if os.environ.get("DPAI_NO_PALLAS", "0") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _bilateral_message_dispatch(q, image, sigma_xy, sigma_rgb, radius):
+    if _use_pallas_bilateral():
+        from .pallas.bilateral import bilateral_message_pallas
+
+        return bilateral_message_pallas(q, image, float(sigma_xy),
+                                        float(sigma_rgb), r=int(radius))
+    return _bilateral_message(q, image, sigma_xy, sigma_rgb, radius)
+
+
 def _bilateral_message(q: jnp.ndarray, image: jnp.ndarray, sigma_xy: float,
                        sigma_rgb: float, radius: int) -> jnp.ndarray:
     """Truncated-window bilateral message with per-pixel normalization."""
@@ -127,7 +147,7 @@ def mean_field_crf(image_u8: jnp.ndarray, probs_fg: jnp.ndarray,
     for _ in range(n_iters):
         m_gauss = _gaussian_message(q, pos_sigma)
         q_small = q[:hd * ds, :wd * ds].reshape(hd, ds, wd, ds, 2).mean((1, 3))
-        m_bil_small = _bilateral_message(
+        m_bil_small = _bilateral_message_dispatch(
             q_small, img_small, sig_xy_small, bil_sigma_rgb, bil_radius)
         m_bil = jnp.repeat(jnp.repeat(m_bil_small, ds, 0), ds, 1)
         m_bil = jnp.pad(m_bil, ((0, h - hd * ds), (0, w - wd * ds), (0, 0)),
