@@ -49,6 +49,8 @@ def main():
 
     if tile_mode:
         return bench_tile(names, tta, patch)
+    if os.environ.get("DPAI_BENCH_MODE") == "e2e":
+        return bench_e2e(names, tta)
 
     t0 = time.time()
     bundles = [build_model(n, dtype=jnp.bfloat16) for n in names]
@@ -128,6 +130,56 @@ def bench_tile(names, tta, patch):
         "unit": "stride-128 patch equivalents/s/chip (3 models x 5 TTA, "
                 "fully-convolutional supertiles)",
         "vs_baseline": round(equiv_pps / TARGET_PPS_PER_CHIP, 3),
+    }))
+
+
+def bench_e2e(names, tta):
+    """Whole-pipeline run on a synthetic slide (BASELINE config 3/4 shape):
+    slide open -> tissue mask -> patch grid -> loader -> ensemble x TTA ->
+    stitch -> finalize -> three pyramid artifacts. Reports patches/sec/chip
+    end-to-end (including host I/O and artifact writing, excluding jit
+    compilation via a tiny warmup slide)."""
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.fixtures import make_synthetic_slide
+    from digipathai_tpu.engine.segmentation import getSegmentation
+
+    os.environ.setdefault("DPAI_OFFLINE", "1")
+    d = tempfile.mkdtemp(prefix="dpai_bench_")
+    quick = names == ["dense"]
+
+    def run(path, label):
+        t0 = time.time()
+        out = getSegmentation(
+            img_path=path, patch_size=256, stride_size=128, batch_size=32,
+            quick=quick, model=names[0], mode="breast",
+            tta_list=[t for t in tta if t != "DEFAULT"] or None,
+            probs_path=os.path.join(d, label + "-p.tiff"),
+            mask_path=os.path.join(d, label + "-m.tiff"),
+            uncertainty_path=os.path.join(d, label + "-u.tiff"),
+            num_workers=16)
+        return time.time() - t0
+
+    warm = os.path.join(d, "warm.tiff")
+    make_synthetic_slide(warm, 1024, 1024, seed=1)
+    run(warm, "warm")  # compile everything
+    big = os.path.join(d, "big.tiff")
+    make_synthetic_slide(big, 8192, 6144, seed=2)
+    # count patches from the plan for the normalized metric
+    from digipathai_tpu.io.slide import Slide
+    from digipathai_tpu.engine.planner import plan_patches
+
+    with Slide(big) as s:
+        n_patches = plan_patches(s, 256, 128, 32).total_patches
+    secs = run(big, "big")
+    pps = n_patches / secs
+    print(json.dumps({
+        "metric": "e2e_patches_per_sec_per_chip",
+        "value": round(pps, 2),
+        "unit": f"end-to-end patches/s/chip ({len(names)} models x {len(tta)} TTA,"
+                f" {n_patches} patches incl. I/O + artifacts in {secs:.1f}s)",
+        "vs_baseline": round(pps / TARGET_PPS_PER_CHIP, 3),
     }))
 
 

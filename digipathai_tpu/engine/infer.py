@@ -24,7 +24,7 @@ from ..ops.stitch import stitch_batch
 
 def build_step(bundles: Sequence, tta_list: Sequence[str], patch: int,
                faithful_tta: bool = False, compute_dtype=jnp.bfloat16,
-               with_checksum: bool = False):
+               with_checksum: bool = False, mask_predictions: bool = False):
     """Returns ``step(variables_list, acc, patches_u8, offsets, valid)``.
 
     ``variables_list`` is a tuple of flax variable pytrees (one per model);
@@ -48,6 +48,14 @@ def build_step(bundles: Sequence, tta_list: Sequence[str], patch: int,
         stack = jnp.stack(preds)                          # (K, B, P, P)
         mean = jnp.mean(stack, axis=0)
         var = jnp.var(stack, axis=0)
+        if mask_predictions:
+            # zero predictions outside patch-level tissue (spec from the
+            # reference's alternate engine, new_Segmentation.py:620-625)
+            from ..ops.morphology import tissue_mask_patch
+
+            tm = tissue_mask_patch(patches_u8).astype(mean.dtype)
+            mean = mean * tm
+            var = var * tm
         acc = stitch_batch(acc, mean, var, offsets, valid, patch=patch)
         if with_checksum:
             return acc, jnp.mean(mean)

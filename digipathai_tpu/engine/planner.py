@@ -23,6 +23,12 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 
+def jnp_asarray_on(device, x):
+    import jax
+
+    return jax.device_put(np.asarray(x), device)
+
+
 @dataclass
 class SupertileGroup:
     origin: Tuple[int, int]       # level-0 (x, y) of the supertile corner
@@ -71,7 +77,20 @@ def plan_patches(slide, patch: int = 256, stride: int = 128, batch: int = 32,
     img_xyc = np.ascontiguousarray(np.transpose(img, (1, 0, 2)))  # (X, Y, 3)
 
     # one fused XLA call: tissue mask + morphology (see ops.morphology.plan_mask)
-    mask = np.asarray(plan_mask(img_xyc, min(level, 4)))
+    # on the LOCAL CPU backend: the coarse level is tiny, and remote TPU
+    # dispatch would pay a relay round-trip + a fresh compile per slide shape
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            mask = np.asarray(plan_mask(jnp_asarray_on(cpu, img_xyc),
+                                        min(level, 4)))
+    else:
+        mask = np.asarray(plan_mask(img_xyc, min(level, 4)))
 
     X_mask, Y_mask = mask.shape
     if X_slide // X_mask != Y_slide // Y_mask:

@@ -80,6 +80,7 @@ def getSegmentation(img_path,
                     data_parallel: bool | int = True,
                     resume: bool = False,
                     inference_mode: str = "patch",
+                    mask_predictions: bool = False,
                     faithful_tta: bool = False,
                     allow_random_weights: bool = True,
                     save_float_probs: bool = False,
@@ -159,7 +160,7 @@ def getSegmentation(img_path,
     cfg_key = hashlib.sha256(repr((
         X, Y, patch_size, stride_size, global_batch, supertile,
         tuple(model_names), tuple(tta_full), faithful_tta,
-        inference_mode)).encode()).hexdigest()
+        inference_mode, mask_predictions)).encode()).hexdigest()
     state_path = mdir / f"{stem}-stitch.json"
     completed: set = set()
     mode_mm = "w+"
@@ -197,23 +198,34 @@ def getSegmentation(img_path,
                 compute_dtype=compute_dtype, completed=completed,
                 on_group_done=lambda gi: save_state())
     else:
+        from ..ops.stitch import add_counts_host
+
+        # count is recomputed analytically host-side (add_counts_host), so
+        # the device accumulator carries only mean+var; with a single
+        # model x TTA combination the variance is identically zero and its
+        # plane isn't transferred either
+        n_preds = len(bundles) * len(tta_full)
+        fetch_planes = 1 if n_preds == 1 else 2
         if n_dev > 1:
             from ..parallel import inference as par
 
             mesh = par.make_dp_mesh(n_dev)
             step = par.build_sharded_step(
                 bundles, tta_full, patch_size, mesh,
-                faithful_tta=faithful_tta, compute_dtype=compute_dtype)
+                faithful_tta=faithful_tta, compute_dtype=compute_dtype,
+                mask_predictions=mask_predictions)
             new_acc = lambda: par.make_sharded_accumulator(  # noqa: E731
-                mesh, supertile, patch_size)
+                mesh, supertile, patch_size, planes=2)
             fetch_acc = lambda a: par.reduce_accumulator(mesh, a)  # noqa: E731
             place = lambda b: par.shard_batch(  # noqa: E731
                 mesh, b.patches, b.offsets, b.valid)
         else:
             step = build_step(bundles, tta_full, patch_size,
                               faithful_tta=faithful_tta,
-                              compute_dtype=compute_dtype)
-            new_acc = lambda: make_accumulator(supertile, patch_size)  # noqa: E731
+                              compute_dtype=compute_dtype,
+                              mask_predictions=mask_predictions)
+            new_acc = lambda: make_accumulator(  # noqa: E731
+                supertile, patch_size, planes=2)
             fetch_acc = lambda a: a  # noqa: E731
             place = lambda b: (b.patches, b.offsets, b.valid)  # noqa: E731
 
@@ -231,20 +243,27 @@ def getSegmentation(img_path,
             # transpose on device (free layout change) so host writeback is
             # row-contiguous in the (Y, X) memmaps
             with timer.stage("flush"):
-                host = np.asarray(jax.device_get(
-                    jnp.transpose(fetch_acc(acc), (0, 2, 1))))
+                host = np.asarray(jax.device_get(jnp.transpose(
+                    fetch_acc(acc)[0:fetch_planes], (0, 2, 1))))
                 mean_map[oy:oy + hy, ox:ox + hx] += host[0, :hy, :hx]
-                var_map[oy:oy + hy, ox:ox + hx] += host[1, :hy, :hx]
-                count_map[oy:oy + hy, ox:ox + hx] += host[2, :hy, :hx]
+                if fetch_planes > 1:
+                    var_map[oy:oy + hy, ox:ox + hx] += host[1, :hy, :hx]
+                add_counts_host(count_map, g.coords, g.valid, g.origin,
+                                patch_size)
             completed.add(gi)
             save_state()
 
-        with maybe_profile("segmentation"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with maybe_profile("segmentation"), ThreadPoolExecutor(1) as flusher:
+            pending = []
             for batch in PatchLoader(slide, plan, num_workers=num_workers,
                                      skip_groups=completed):
                 if batch.group_index != cur_group:
                     if acc is not None:
-                        flush(acc, cur_group)
+                        # flush in the background; compute continues on the
+                        # next supertile (transfer/compute overlap)
+                        pending.append(flusher.submit(flush, acc, cur_group))
                     acc = new_acc()
                     cur_group = batch.group_index
                 with timer.stage("infer"):
@@ -256,7 +275,9 @@ def getSegmentation(img_path,
                 if progress_cb is not None:
                     progress_cb(done, total_batches)
             if acc is not None:
-                flush(acc, cur_group)
+                pending.append(flusher.submit(flush, acc, cur_group))
+            for fut in pending:
+                fut.result()  # surface flush errors
 
     # --- finalize (chunked): mean /= count, var /= count^2 ---------------
     CHUNK = 4096
@@ -276,6 +297,23 @@ def getSegmentation(img_path,
         refine_slide_crf(slide, mean_map, supertile=supertile)
 
     # --- write artifacts -------------------------------------------------
+    def write_u8_pyramid(path, mm):
+        """Native C++ writer when available (15x faster); python streaming
+        writer otherwise or for very large maps (the native path builds
+        downsample levels in RAM)."""
+        from ..io import backend as io_backend
+
+        if io_backend.use_native() and mm.size < (1 << 30):
+            from ..io import native as io_native
+
+            io_native.write_pyramidal_tiff(str(path), mm, compression="jpeg",
+                                           quality=90)
+            return
+        with PyramidalTiffWriter(str(path), X, Y, channels=1, dtype=np.uint8,
+                                 compression="jpeg", quality=90,
+                                 scratch_dir=str(mdir)) as wr:
+            wr.write_base(mm)
+
     def write_u8(path, transform):
         with timer.stage("write"):
             return _write_u8_inner(path, transform)
@@ -286,10 +324,7 @@ def getSegmentation(img_path,
             y1 = min(y0 + CHUNK, Y)
             tmp[y0:y1] = transform(y0, y1)
         tmp.flush()
-        with PyramidalTiffWriter(str(path), X, Y, channels=1, dtype=np.uint8,
-                                 compression="jpeg", quality=90,
-                                 scratch_dir=str(mdir)) as wr:
-            wr.write_base(tmp)
+        write_u8_pyramid(path, tmp)
         del tmp
 
     write_u8(probs_path, lambda a, b: np.clip(
@@ -310,10 +345,7 @@ def getSegmentation(img_path,
             mask_mm[y0:y1] = np.where(
                 mean_map[y0:y1] >= threshold, 255, 0).astype(np.uint8)
         mask_mm.flush()
-        with PyramidalTiffWriter(str(mask_path), X, Y, channels=1,
-                                 dtype=np.uint8, compression="jpeg",
-                                 quality=90, scratch_dir=str(mdir)) as wr:
-            wr.write_base(mask_mm)
+        write_u8_pyramid(mask_path, mask_mm)
 
     _status_set(status, status="Saving Prediction Uncertanity...")
     write_u8(uncertainty_path, lambda a, b: np.clip(

@@ -1,0 +1,74 @@
+"""ROI / bounding-box helpers over tissue masks (host-side numpy/cv2).
+
+Parity targets: ``get_bbox`` (``reference DigiPathAI/helpers/utils.py:221-231``),
+``get_all_bbox_masks`` (``:233-254``), ``get_all_bbox_masks_with_stride``
+(``:256-278``), ``find_largest_bbox`` (``:280-305``) and ``labelthreshold``
+(``:408-411``).  These power the reference's alternate ROI-masking strategies
+(commented-out call sites at ``reference loaders/dataloader.py:272-274``);
+kept as first-class utilities so those strategies are available here.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def get_bboxes(mask: np.ndarray) -> List[Tuple[int, int, int, int]]:
+    """External-contour bounding boxes [(x, y, w, h), ...] of a binary mask."""
+    import cv2
+
+    m = (np.asarray(mask) > 0).astype(np.uint8)
+    contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    return [cv2.boundingRect(c) for c in contours]
+
+
+def get_all_bbox_masks(mask: np.ndarray, stride_factor: int = 0) -> np.ndarray:
+    """Union of all blob bounding boxes, each padded by ``stride_factor``."""
+    mask = np.asarray(mask)
+    out = np.zeros_like(mask, dtype=np.uint8)
+    h, w = mask.shape
+    for x, y, bw, bh in get_bboxes(mask):
+        x0 = max(0, x - stride_factor)
+        y0 = max(0, y - stride_factor)
+        x1 = min(w, x + bw + stride_factor)
+        y1 = min(h, y + bh + stride_factor)
+        out[y0:y1, x0:x1] = 1
+    return out
+
+
+def get_all_bbox_masks_with_stride(mask: np.ndarray,
+                                   stride_factor: int) -> np.ndarray:
+    """Like ``get_all_bbox_masks`` but only strided grid points are set."""
+    mask = np.asarray(mask)
+    out = np.zeros_like(mask, dtype=np.uint8)
+    h, w = mask.shape
+    for x, y, bw, bh in get_bboxes(mask):
+        x0 = max(0, x - stride_factor)
+        y0 = max(0, y - stride_factor)
+        x1 = min(w, x + bw + stride_factor)
+        y1 = min(h, y + bh + stride_factor)
+        out[y0:y1:stride_factor, x0:x1:stride_factor] = 1
+    return out
+
+
+def find_largest_bbox(mask: np.ndarray, stride_factor: int = 0) -> np.ndarray:
+    """One box covering every nonzero pixel, padded by ``stride_factor``."""
+    mask = np.asarray(mask)
+    out = np.zeros_like(mask, dtype=np.uint8)
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        return out
+    h, w = mask.shape
+    y0 = max(0, ys.min() - stride_factor)
+    y1 = min(h, ys.max() + 1 + stride_factor)
+    x0 = max(0, xs.min() - stride_factor)
+    x1 = min(w, xs.max() + 1 + stride_factor)
+    out[y0:y1, x0:x1] = 1
+    return out
+
+
+def labelthreshold(image: np.ndarray, threshold: float = 0.5) -> np.ndarray:
+    """Binary 0/1 label map at ``threshold`` (reference ``labelthreshold``)."""
+    return (np.asarray(image) >= threshold).astype(np.uint8)

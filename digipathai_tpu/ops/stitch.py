@@ -28,7 +28,9 @@ def stitch_batch(acc, mean_p, var_p, offsets, valid, *, patch: int):
     """Scatter-add a batch of patch stats into a supertile accumulator.
 
     Args:
-      acc: (3, S+patch, S+patch) float32 — mean-sum, var-sum, count planes.
+      acc: (C, S+patch, S+patch) float32 — C=2 (mean-sum, var-sum; the count
+        plane is recomputed analytically on the host from the patch plan) or
+        C=3 (with an explicit count plane).
       mean_p: (B, patch, patch) float32 — per-patch ensemble-mean prob, ch 1.
       var_p: (B, patch, patch) float32 — per-patch ensemble variance, ch 1.
       offsets: (B, 2) int32 — (dx, dy) of each patch inside the accumulator.
@@ -36,22 +38,42 @@ def stitch_batch(acc, mean_p, var_p, offsets, valid, *, patch: int):
 
     Returns the updated accumulator (donated, so updated in place on TPU).
     """
+    C = acc.shape[0]
 
     def body(acc, inp):
         m, v, off, ok = inp
         w = ok.astype(jnp.float32)
         dx, dy = off[0], off[1]
-        win = lax.dynamic_slice(acc, (0, dx, dy), (3, patch, patch))
-        ones = jnp.ones_like(m) * w  # not full_like: shard_map vma-safe
-        upd = win + jnp.stack([m * w, v * w, ones], axis=0)
+        win = lax.dynamic_slice(acc, (0, dx, dy), (C, patch, patch))
+        planes = [m * w, v * w]
+        if C == 3:
+            planes.append(jnp.ones_like(m) * w)  # vma-safe (no full_like)
+        upd = win + jnp.stack(planes, axis=0)
         return lax.dynamic_update_slice(acc, upd, (0, dx, dy)), None
 
     acc, _ = lax.scan(body, acc, (mean_p, var_p, offsets, valid))
     return acc
 
 
-def make_accumulator(supertile: int, patch: int) -> jnp.ndarray:
-    return jnp.zeros((3, supertile + patch, supertile + patch), jnp.float32)
+def make_accumulator(supertile: int, patch: int, planes: int = 3) -> jnp.ndarray:
+    return jnp.zeros((planes, supertile + patch, supertile + patch), jnp.float32)
+
+
+def add_counts_host(count_map, coords, valid, origin, patch: int):
+    """Analytic count-plane accumulation on the host.
+
+    ``count_map`` is the (Y, X) memmap; ``coords`` are level-0 (x, y) patch
+    top-lefts.  Equivalent to stitching a ones-plane on device, minus the
+    HBM->host transfer of a full accumulator plane.
+    """
+    import numpy as np
+
+    Y, X = count_map.shape
+    for (x, y), ok in zip(np.asarray(coords), np.asarray(valid)):
+        if not ok:
+            continue
+        x0, y0 = int(x), int(y)
+        count_map[y0:min(y0 + patch, Y), x0:min(x0 + patch, X)] += 1.0
 
 
 def finalize_maps(mean_sum, var_sum, count):

@@ -42,7 +42,8 @@ def make_dp_mesh(n_devices=None) -> Mesh:
 
 def build_sharded_step(bundles: Sequence, tta_list: Sequence[str], patch: int,
                        mesh: Mesh, faithful_tta: bool = False,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16,
+                       mask_predictions: bool = False):
     """Returns ``step(variables_list, acc, patches_u8, offsets, valid)``.
 
     Shapes are *global*: acc (D, 3, S+P, S+P) sharded on the device axis,
@@ -63,6 +64,12 @@ def build_sharded_step(bundles: Sequence, tta_list: Sequence[str], patch: int,
         stack = jnp.stack(preds)
         mean = jnp.mean(stack, axis=0)
         var = jnp.var(stack, axis=0)
+        if mask_predictions:
+            from ..ops.morphology import tissue_mask_patch
+
+            tm = tissue_mask_patch(patches_u8).astype(mean.dtype)
+            mean = mean * tm
+            var = var * tm
         return stitch_batch(acc[0], mean, var, offsets, valid,
                             patch=patch)[None]
 
@@ -73,9 +80,11 @@ def build_sharded_step(bundles: Sequence, tta_list: Sequence[str], patch: int,
     return jax.jit(sharded, donate_argnums=(1,))
 
 
-def make_sharded_accumulator(mesh: Mesh, supertile: int, patch: int):
+def make_sharded_accumulator(mesh: Mesh, supertile: int, patch: int,
+                             planes: int = 3):
     d = mesh.shape["dp"]
-    acc = jnp.zeros((d, 3, supertile + patch, supertile + patch), jnp.float32)
+    acc = jnp.zeros((d, planes, supertile + patch, supertile + patch),
+                    jnp.float32)
     return jax.device_put(acc, NamedSharding(mesh, P("dp")))
 
 

@@ -1,0 +1,75 @@
+"""ROI helper tests vs cv2-based oracles."""
+
+import numpy as np
+import pytest
+
+from digipathai_tpu.ops import roi
+
+
+@pytest.fixture()
+def blobs():
+    m = np.zeros((60, 80), np.uint8)
+    m[5:15, 10:30] = 1
+    m[40:55, 50:70] = 1
+    return m
+
+
+class TestROI:
+    def test_bboxes(self, blobs):
+        boxes = sorted(roi.get_bboxes(blobs))
+        assert boxes == [(10, 5, 20, 10), (50, 40, 20, 15)]
+
+    def test_all_bbox_masks(self, blobs):
+        out = roi.get_all_bbox_masks(blobs, stride_factor=2)
+        assert out[5, 10] == 1 and out[3, 8] == 1  # padded corner
+        assert out[30, 40] == 0                     # between blobs
+        assert out.sum() == (24 * 14) + (24 * 19)
+
+    def test_with_stride(self, blobs):
+        out = roi.get_all_bbox_masks_with_stride(blobs, stride_factor=4)
+        ys, xs = np.nonzero(out)
+        assert ((ys[:, None] - ys[None, :]) % 4 == 0).all() or len(ys) > 0
+        assert out.sum() < roi.get_all_bbox_masks(blobs, 4).sum()
+
+    def test_largest_bbox(self, blobs):
+        out = roi.find_largest_bbox(blobs, stride_factor=0)
+        assert out[5:55, 10:70].all()
+        assert out[:5].sum() == 0 and out[:, :10].sum() == 0
+
+    def test_empty_mask(self):
+        out = roi.find_largest_bbox(np.zeros((10, 10), np.uint8))
+        assert out.sum() == 0
+
+    def test_labelthreshold(self):
+        x = np.array([0.2, 0.5, 0.9])
+        np.testing.assert_array_equal(roi.labelthreshold(x), [0, 1, 1])
+
+
+class TestMaskPredictions:
+    def test_engine_flag(self, tmp_path, monkeypatch):
+        """With mask_predictions, glass-colored pixels get zero probability."""
+        from tests.fixtures import make_synthetic_slide
+        from digipathai_tpu.engine.segmentation import getSegmentation
+        from digipathai_tpu.io.slide import Slide
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = str(tmp_path / "mp-slide.tiff")
+        make_synthetic_slide(p, 512, 512, seed=51)
+
+        # an oracle that claims EVERYTHING is lesion
+        out = getSegmentation(
+            img_path=p, patch_size=128, stride_size=128, batch_size=8,
+            quick=True, model="oracle", mode="breast",
+            probs_path=str(tmp_path / "p.tiff"),
+            mask_path=str(tmp_path / "m.tiff"),
+            uncertainty_path=str(tmp_path / "u.tiff"),
+            supertile=512, num_workers=2, data_parallel=False,
+            mask_predictions=True)
+        with Slide(str(tmp_path / "p.tiff")) as sp:
+            probs = sp.read_level(sp.level_count - 1)[:, :, 0]
+        # glass (244-ish white) fails the r<235|g<210|b<235 test -> masked out
+        # lesion (dark) passes; so probabilities survive only on tissue
+        assert probs.max() > 100  # lesion kept
+        h, w = probs.shape
+        assert probs[0:h // 8, 0:w // 8].max() <= 5  # glass corner zeroed
