@@ -16,7 +16,6 @@ Patch mode stays the default for bit-parity with the reference; enable with
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Sequence
 
 import jax

@@ -17,7 +17,6 @@ float32 gray, streamed from arbitrarily large (memmap) sources.
 from __future__ import annotations
 
 import io
-import math
 import os
 import struct
 import threading

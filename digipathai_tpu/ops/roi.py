@@ -10,7 +10,7 @@ kept as first-class utilities so those strategies are available here.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

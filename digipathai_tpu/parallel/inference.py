@@ -14,7 +14,6 @@ and padding patches are masked out.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Sequence
 
 import jax
