@@ -75,13 +75,54 @@ def _h5_weight_items(h5) -> List[Tuple[str, str, np.ndarray]]:
     return items
 
 
+_AUTO_CLASSES = ("conv2d", "batch_normalization")
+
+
+def _auto_index(name: str, cls: str):
+    if name == cls:
+        return 0
+    if name.startswith(cls + "_"):
+        suffix = name[len(cls) + 1:]
+        if suffix.isdigit():
+            return int(suffix)
+    return None
+
+
+def _detect_auto_offsets(h5_layers, our_layers) -> Dict[str, int]:
+    """Keras auto-names depend on global per-class counters: a checkpoint
+    saved after other models were built in the same process has every
+    unnamed layer shifted (conv2d_37 where we expect conv2d).  Detect the
+    per-class offset from the minimum indices on each side."""
+    offsets = {}
+    for cls in _AUTO_CLASSES:
+        h5_idx = [i for n in h5_layers if (i := _auto_index(n, cls)) is not None]
+        our_idx = [i for n in our_layers if (i := _auto_index(n, cls)) is not None]
+        if h5_idx and our_idx and len(h5_idx) == len(our_idx):
+            offsets[cls] = min(h5_idx) - min(our_idx)
+        else:
+            offsets[cls] = 0
+    return offsets
+
+
+def _unshift(name: str, offsets: Dict[str, int]) -> str:
+    for cls, off in offsets.items():
+        if off == 0:
+            continue
+        i = _auto_index(name, cls)
+        if i is not None:
+            j = i - off
+            return cls if j == 0 else f"{cls}_{j}"
+    return name
+
+
 def keras_h5_to_flax(h5_path: str, variables: Dict[str, Any],
                      strict: bool = True) -> Dict[str, Any]:
     """Load a Keras .h5 into a flax variables pytree (shape-checked).
 
     ``variables`` is the template from ``module.init`` — a dict with
     'params' and (optionally) 'batch_stats' collections keyed by our
-    Keras-mirrored layer names.
+    Keras-mirrored layer names.  Auto-named layers are aligned even when the
+    checkpoint's Keras name counters were offset (see _detect_auto_offsets).
     """
     import h5py
     import jax
@@ -91,6 +132,11 @@ def keras_h5_to_flax(h5_path: str, variables: Dict[str, Any],
         for lname, leaves in variables[coll].items():
             flat[(coll, lname)] = dict(leaves)
 
+    with h5py.File(h5_path, "r") as f:
+        h5_layer_names = {layer for layer, _, _ in _h5_weight_items(f)}
+    our_layer_names = {ln for (_, ln) in flat}
+    offsets = _detect_auto_offsets(h5_layer_names, our_layer_names)
+
     loaded = set()
     unmatched = []
     with h5py.File(h5_path, "r") as f:
@@ -99,7 +145,7 @@ def keras_h5_to_flax(h5_path: str, variables: Dict[str, Any],
                 unmatched.append((layer, suffix, "unknown suffix"))
                 continue
             coll, leaf = _SUFFIX_MAP[suffix]
-            fname = layer.replace("/", "__")
+            fname = _unshift(layer, offsets).replace("/", "__")
             key = (coll, fname)
             if key not in flat:
                 unmatched.append((layer, suffix, "no such flax layer"))
