@@ -15,8 +15,10 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <list>
 #include <mutex>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -28,10 +30,41 @@ struct LevelInfo {
   uint16_t compression = 1, photometric = 1;
 };
 
+// Decoded-tile LRU: overlapping patch reads (stride < patch) hit each tile
+// several times; caching the RGBA decode quarters JPEG work.
+struct TileCache {
+  using Key = uint64_t;  // (level << 32) | tile_index
+  size_t capacity = 64;
+  std::list<Key> order;
+  std::unordered_map<Key, std::pair<std::list<Key>::iterator,
+                                    std::vector<uint32_t>>> map;
+  std::mutex mu;
+
+  bool get(Key k, std::vector<uint32_t> &out) {
+    std::lock_guard<std::mutex> lk(mu);
+    auto it = map.find(k);
+    if (it == map.end()) return false;
+    order.splice(order.begin(), order, it->second.first);
+    out = it->second.second;
+    return true;
+  }
+  void put(Key k, const std::vector<uint32_t> &v) {
+    std::lock_guard<std::mutex> lk(mu);
+    if (map.count(k)) return;
+    order.push_front(k);
+    map.emplace(k, std::make_pair(order.begin(), v));
+    while (map.size() > capacity) {
+      map.erase(order.back());
+      order.pop_back();
+    }
+  }
+};
+
 struct Reader {
   std::string path;
   std::vector<LevelInfo> levels;
   std::string description;
+  TileCache cache;
   // handle pool
   std::vector<TIFF *> pool;
   std::vector<bool> busy;
@@ -179,16 +212,22 @@ int dpai_read_region(void *h, int level, int64_t x, int64_t y, uint32_t w,
     }
   } else {
     std::vector<uint32_t> tile((size_t)li.tile_w * li.tile_h);
+    uint32_t tiles_across = (li.width + li.tile_w - 1) / li.tile_w;
     int64_t tx0 = std::max<int64_t>(0, x) / li.tile_w;
     int64_t ty0 = std::max<int64_t>(0, y) / li.tile_h;
     int64_t tx1 = std::min<int64_t>(li.width - 1, x + w - 1) / li.tile_w;
     int64_t ty1 = std::min<int64_t>(li.height - 1, y + h_out - 1) / li.tile_h;
     for (int64_t ty = ty0; ty <= ty1 && rc == 0; ++ty) {
       for (int64_t tx = tx0; tx <= tx1; ++tx) {
-        if (!TIFFReadRGBATile(t, (uint32_t)(tx * li.tile_w),
-                              (uint32_t)(ty * li.tile_h), tile.data())) {
-          rc = -4;
-          break;
+        uint64_t key = ((uint64_t)level << 32) |
+                       (uint64_t)(ty * tiles_across + tx);
+        if (!r->cache.get(key, tile)) {
+          if (!TIFFReadRGBATile(t, (uint32_t)(tx * li.tile_w),
+                                (uint32_t)(ty * li.tile_h), tile.data())) {
+            rc = -4;
+            break;
+          }
+          r->cache.put(key, tile);
         }
         int64_t px0 = std::max<int64_t>(x, tx * li.tile_w);
         int64_t py0 = std::max<int64_t>(y, ty * li.tile_h);
