@@ -39,7 +39,7 @@ def main():
     from digipathai_tpu.models.registry import build_model
     from digipathai_tpu.ops.stitch import make_accumulator
 
-    patch, batch, supertile = 256, 32, 4096
+    patch, batch, supertile = 256, int(os.environ.get("DPAI_BENCH_BATCH", 32)), 4096
     tta = ["DEFAULT", "FLIP_LEFT_RIGHT", "ROTATE_90", "ROTATE_180", "ROTATE_270"]
     names = ["dense", "inception", "deeplabv3"]
     quick = os.environ.get("DPAI_BENCH_QUICK") == "1"
@@ -103,7 +103,8 @@ def bench_tile(names, tta, patch):
     from digipathai_tpu.engine.tile_infer import build_tile_step
     from digipathai_tpu.models.registry import build_model
 
-    tile, halo, stride = 1024, patch // 2, 128
+    tile = int(os.environ.get("DPAI_BENCH_TILE", 1024))
+    halo, stride = patch // 2, 128
     bundles = [build_model(n, dtype=jnp.bfloat16) for n in names]
     variables = tuple(b.init(tile + 2 * halo) for b in bundles)
     step = build_tile_step(bundles, tta, tile, halo)

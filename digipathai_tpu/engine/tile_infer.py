@@ -10,7 +10,10 @@ over the tile plus a halo, eliminating the overlap redundancy — typically a
 Semantics vs patch mode: interior pixels match the patch-mode overlap-add up
 to the models' patch-border padding effects (pointwise models match exactly;
 CNNs differ only within a receptive-field fringe of the old patch borders).
-Patch mode stays the default for bit-parity with the reference; enable with
+Exception: DeepLabv3+'s ASPP image-pooling branch is global, so its context
+vector is computed over the tile instead of each 256px patch — a semantic
+difference beyond the receptive-field fringe for that model.  Patch mode
+stays the default for bit-parity with the reference; enable with
 ``getSegmentation(..., inference_mode="tile")``.
 """
 
