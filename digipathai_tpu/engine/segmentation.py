@@ -196,7 +196,7 @@ def getSegmentation(img_path,
                 mean_map, var_map, count_map, halo=patch_size // 2,
                 status=status, timer=timer, progress_cb=progress_cb,
                 compute_dtype=compute_dtype, completed=completed,
-                on_group_done=lambda gi: save_state())
+                on_group_done=lambda gi: save_state(), n_devices=n_dev)
     else:
         from ..ops.stitch import add_counts_host
 

@@ -59,13 +59,20 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                        mean_map, var_map, count_map, *, halo: int,
                        status=None, timer=None, progress_cb=None,
                        compute_dtype=jnp.bfloat16, completed=None,
-                       on_group_done=None):
+                       on_group_done=None, n_devices: int = 1):
     """Segment every tissue supertile fully convolutionally.
 
     Reuses the patch plan's supertile groups purely as a tissue index (a
     group exists iff the supertile contains strided tissue).  Maps are
     written directly (count=1) — overlap-add is unnecessary without overlap.
+
+    Multi-chip: supertiles are embarrassingly parallel, so groups are
+    round-robined across devices (inputs placed per device; jit compiles a
+    per-device executable) and results are flushed by a writer pool.
     """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
     X, Y = plan.slide_dims
@@ -73,21 +80,17 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
     step = build_tile_step(bundles, tta_full, S, halo,
                            compute_dtype=compute_dtype)
     completed = completed if completed is not None else set()
+    devices = jax.devices()[:max(1, n_devices)]
+    vars_on = {d: jax.device_put(variables_tuple, d) for d in devices}
     total = max(len(plan.groups), 1)
     done = len(completed)
-    for gi, g in enumerate(plan.groups):
-        if gi in completed:
-            continue
+    lock = threading.Lock()
+
+    def flush(mean, var, gi, g):
+        nonlocal done
         ox, oy = g.origin
         w = min(S, X - ox)
         h = min(S, Y - oy)
-        # read tile + halo; Slide zero-fills out-of-bounds
-        region = slide.read_region((ox - halo, oy - halo), 0,
-                                   (S + 2 * halo, S + 2 * halo))
-        tile_xyc = np.ascontiguousarray(np.transpose(region, (1, 0, 2)))
-        ctx = timer.stage("infer") if timer else _null()
-        with ctx:
-            mean, var = step(variables_tuple, tile_xyc)
         ctx = timer.stage("flush") if timer else _null()
         with ctx:
             mean_h = np.asarray(jax.device_get(mean))
@@ -96,14 +99,34 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
             mean_map[oy:oy + h, ox:ox + w] = mean_h[:w, :h].T
             var_map[oy:oy + h, ox:ox + w] = var_h[:w, :h].T
             count_map[oy:oy + h, ox:ox + w] = 1.0
-        done += 1
-        completed.add(gi)
-        if on_group_done is not None:
-            on_group_done(gi)
-        if status is not None:
-            status["progress"] = int(done * 100.0 / total)
-        if progress_cb is not None:
-            progress_cb(done, total)
+        with lock:
+            done += 1
+            completed.add(gi)
+            if on_group_done is not None:
+                on_group_done(gi)
+            if status is not None:
+                status["progress"] = int(done * 100.0 / total)
+            if progress_cb is not None:
+                progress_cb(done, total)
+
+    with ThreadPoolExecutor(max(2, len(devices))) as flusher:
+        pending = []
+        for i, (gi, g) in enumerate(
+                (gi, g) for gi, g in enumerate(plan.groups)
+                if gi not in completed):
+            dev = devices[i % len(devices)]
+            ox, oy = g.origin
+            # read tile + halo; Slide zero-fills out-of-bounds
+            region = slide.read_region((ox - halo, oy - halo), 0,
+                                       (S + 2 * halo, S + 2 * halo))
+            tile_xyc = np.ascontiguousarray(np.transpose(region, (1, 0, 2)))
+            ctx = timer.stage("infer") if timer else _null()
+            with ctx:
+                tile_dev = jax.device_put(tile_xyc, dev)
+                mean, var = step(vars_on[dev], tile_dev)
+            pending.append(flusher.submit(flush, mean, var, gi, g))
+        for fut in pending:
+            fut.result()
 
 
 class _null:

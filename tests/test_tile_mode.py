@@ -62,6 +62,32 @@ class TestTileMode:
         diff = np.abs(mean_tile[inner, inner] - mean_patch[inner, inner])
         assert diff.max() < 1e-4
 
+    def test_multidevice_tile_mode_matches_serial(self, tmp_path, monkeypatch):
+        """Supertiles round-robined over 8 devices give identical maps."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device mesh")
+        from tests.fixtures import make_synthetic_slide
+        from digipathai_tpu.engine.segmentation import getSegmentation
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = str(tmp_path / "mt-slide.tiff")
+        make_synthetic_slide(p, 768, 768, seed=43)
+        outs = {}
+        for dp in (False, True):
+            out = getSegmentation(
+                img_path=p, patch_size=128, stride_size=128, batch_size=4,
+                quick=True, model="oracle", mode="breast",
+                probs_path=str(tmp_path / f"mt{dp}-p.tiff"),
+                mask_path=str(tmp_path / f"mt{dp}-m.tiff"),
+                uncertainty_path=str(tmp_path / f"mt{dp}-u.tiff"),
+                supertile=384, num_workers=2, data_parallel=dp,
+                inference_mode="tile")
+            outs[dp] = np.asarray(out).copy()
+        np.testing.assert_array_equal(outs[False], outs[True])
+
     def test_divisibility_validation(self, tmp_path, monkeypatch):
         from tests.fixtures import make_synthetic_slide
         from digipathai_tpu.engine.segmentation import getSegmentation
