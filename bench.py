@@ -55,6 +55,11 @@ def main():
     t0 = time.time()
     bundles = [build_model(n, dtype=jnp.bfloat16) for n in names]
     variables = tuple(b.init(patch) for b in bundles)
+    if os.environ.get("DPAI_BENCH_FOLD_BN") == "1":
+        from digipathai_tpu.models.fold_bn import fold_batchnorm
+
+        variables = tuple(fold_batchnorm(v)[0] for v in variables)
+        print("# BN folded", file=sys.stderr)
     print(f"# init {time.time() - t0:.1f}s on {jax.devices()[0].platform}",
           file=sys.stderr)
 

@@ -81,6 +81,7 @@ def getSegmentation(img_path,
                     resume: bool = False,
                     inference_mode: str = "patch",
                     mask_predictions: bool = False,
+                    fold_bn: bool = False,
                     faithful_tta: bool = False,
                     allow_random_weights: bool = True,
                     save_float_probs: bool = False,
@@ -129,6 +130,10 @@ def getSegmentation(img_path,
                 allow_random=allow_random_weights)
         else:
             v = b.init(patch_size)
+        if fold_bn and "batch_stats" in v:
+            from ..models.fold_bn import fold_batchnorm
+
+            v, _ = fold_batchnorm(v)
         variables_list.append(v)
 
     # --- device topology -------------------------------------------------
