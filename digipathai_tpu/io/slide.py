@@ -80,6 +80,15 @@ class Slide:
                             props["mpp"] = float(tok.split("=")[-1].strip())
                         except ValueError:
                             pass
+        if "mpp" not in props:
+            # resolution-tag fallback (OpenSlide derives mpp the same way)
+            page = self._pages[0]
+            xres = getattr(page, "x_resolution", 0.0)
+            if xres:
+                per_cm = xres if getattr(page, "resolution_unit", 2) == 3 \
+                    else xres / 2.54
+                if per_cm > 0:
+                    props["mpp"] = 10000.0 / per_cm
         return props
 
     # -- pixels -----------------------------------------------------------

@@ -165,6 +165,8 @@ class TiffPage:
     strip_counts: Sequence[int] = field(default_factory=list)
     jpeg_tables: Optional[bytes] = None
     description: str = ""
+    x_resolution: float = 0.0
+    resolution_unit: int = 2  # 2=inch, 3=cm
 
     @property
     def is_tiled(self) -> bool:
@@ -306,6 +308,8 @@ class TiffReader:
                 bytes(tags[TAG_IMAGE_DESCRIPTION]).split(b"\0")[0].decode("utf-8", "replace")
                 if TAG_IMAGE_DESCRIPTION in tags else ""
             ),
+            x_resolution=float(one(TAG_X_RESOLUTION, 0.0) or 0.0),
+            resolution_unit=int(one(TAG_RESOLUTION_UNIT, 2)),
         )
         return page, next_ifd
 
