@@ -137,8 +137,8 @@ def bilateral_message_pallas(q, image, sigma_xy: float, sigma_rgb: float,
     out = pl.pallas_call(
         kernel,
         grid=(n_strips,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((2, BH, Wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, h_pad, Wp), jnp.float32),
