@@ -60,6 +60,31 @@ def _status_set(status_obj, **kw):
         status_obj[k] = v
 
 
+def state_crf_applied(state_path, cfg_key) -> bool:
+    """CRF refinement is in-place and non-idempotent; resumed runs must not
+    re-refine already-refined maps."""
+    import json
+
+    try:
+        state = json.loads(state_path.read_text())
+        return state.get("config") == cfg_key and state.get("crf_applied", False)
+    except (OSError, ValueError):
+        return False
+
+
+def mark_crf_applied(state_path, cfg_key):
+    import json
+
+    try:
+        state = json.loads(state_path.read_text())
+    except (OSError, ValueError):
+        state = {"config": cfg_key}
+    state["crf_applied"] = True
+    tmp = state_path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(state))
+    os.replace(tmp, state_path)
+
+
 def getSegmentation(img_path,
                     patch_size: int = 256,
                     stride_size: int = 128,
@@ -169,11 +194,13 @@ def getSegmentation(img_path,
     state_path = mdir / f"{stem}-stitch.json"
     completed: set = set()
     mode_mm = "w+"
+    finalized = False
     if resume and state_path.exists():
         try:
             state = json.loads(state_path.read_text())
             if state.get("config") == cfg_key:
                 completed = set(state.get("completed", []))
+                finalized = bool(state.get("finalized", False))
                 mode_mm = "r+"
         except (ValueError, OSError):
             pass
@@ -182,10 +209,13 @@ def getSegmentation(img_path,
     var_map = np.memmap(mdir / f"{stem}-var.dat", np.float32, mode_mm, shape=(Y, X))
     count_map = np.memmap(mdir / f"{stem}-count.dat", np.float32, mode_mm, shape=(Y, X))
 
-    def save_state():
+    def save_state(mark_finalized: bool = False):
+        # finalize is non-idempotent (mean /= count); the marker prevents a
+        # resumed run from dividing already-finalized maps a second time
         tmp = state_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(
-            {"config": cfg_key, "completed": sorted(completed)}))
+            {"config": cfg_key, "completed": sorted(completed),
+             "finalized": mark_finalized or finalized}))
         os.replace(tmp, state_path)
 
     variables_tuple = tuple(variables_list)
@@ -201,7 +231,8 @@ def getSegmentation(img_path,
                 mean_map, var_map, count_map, halo=patch_size // 2,
                 status=status, timer=timer, progress_cb=progress_cb,
                 compute_dtype=compute_dtype, completed=completed,
-                on_group_done=lambda gi: save_state(), n_devices=n_dev)
+                on_group_done=lambda gi: save_state(), n_devices=n_dev,
+                faithful_tta=faithful_tta)
     else:
         from ..ops.stitch import add_counts_host
 
@@ -269,6 +300,10 @@ def getSegmentation(img_path,
                         # flush in the background; compute continues on the
                         # next supertile (transfer/compute overlap)
                         pending.append(flusher.submit(flush, acc, cur_group))
+                        # backpressure: each pending flush pins a full HBM
+                        # accumulator — bound the backlog
+                        while len(pending) > 2:
+                            pending.pop(0).result()
                     acc = new_acc()
                     cur_group = batch.group_index
                 with timer.stage("infer"):
@@ -286,20 +321,24 @@ def getSegmentation(img_path,
 
     # --- finalize (chunked): mean /= count, var /= count^2 ---------------
     CHUNK = 4096
-    with timer.stage("finalize"):
-        for y0 in range(0, Y, CHUNK):
-            y1 = min(y0 + CHUNK, Y)
-            c = np.maximum(count_map[y0:y1], 1.0)
-            mean_map[y0:y1] /= c
-            var_map[y0:y1] /= c * c
-        mean_map.flush()
-        var_map.flush()
+    if not finalized:
+        with timer.stage("finalize"):
+            for y0 in range(0, Y, CHUNK):
+                y1 = min(y0 + CHUNK, Y)
+                c = np.maximum(count_map[y0:y1], 1.0)
+                mean_map[y0:y1] /= c
+                var_map[y0:y1] /= c * c
+            mean_map.flush()
+            var_map.flush()
+        finalized = True
+        save_state(mark_finalized=True)
 
-    if crf:
+    if crf and not state_crf_applied(state_path, cfg_key):
         from ..ops.crf import refine_slide_crf
 
         _status_set(status, status="Refining with CRF")
         refine_slide_crf(slide, mean_map, supertile=supertile)
+        mark_crf_applied(state_path, cfg_key)
 
     # --- write artifacts -------------------------------------------------
     def write_u8_pyramid(path, mm):

@@ -29,10 +29,11 @@ from ..ops.color import normalize_patches
 
 
 def build_tile_step(bundles: Sequence, tta_list: Sequence[str],
-                    tile: int, halo: int, compute_dtype=jnp.bfloat16):
+                    tile: int, halo: int, compute_dtype=jnp.bfloat16,
+                    faithful_tta: bool = False):
     """Returns ``step(variables_list, tile_u8) -> (mean, var)`` over the
     tile's interior; ``tile_u8`` is (tile + 2*halo, tile + 2*halo, 3)."""
-    chains = tta_ops.effective_transforms(tta_list, faithful=False)
+    chains = tta_ops.effective_transforms(tta_list, faithful=faithful_tta)
 
     @jax.jit
     def step(variables_list, tile_u8):
@@ -59,7 +60,8 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                        mean_map, var_map, count_map, *, halo: int,
                        status=None, timer=None, progress_cb=None,
                        compute_dtype=jnp.bfloat16, completed=None,
-                       on_group_done=None, n_devices: int = 1):
+                       on_group_done=None, n_devices: int = 1,
+                       faithful_tta: bool = False):
     """Segment every tissue supertile fully convolutionally.
 
     Reuses the patch plan's supertile groups purely as a tissue index (a
@@ -78,7 +80,8 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
     X, Y = plan.slide_dims
     S = plan.supertile
     step = build_tile_step(bundles, tta_full, S, halo,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype,
+                           faithful_tta=faithful_tta)
     completed = completed if completed is not None else set()
     devices = jax.devices()[:max(1, n_devices)]
     vars_on = {d: jax.device_put(variables_tuple, d) for d in devices}
@@ -125,13 +128,12 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                 tile_dev = jax.device_put(tile_xyc, dev)
                 mean, var = step(vars_on[dev], tile_dev)
             pending.append(flusher.submit(flush, mean, var, gi, g))
+            # backpressure: each pending result pins device+host buffers;
+            # bound the in-flight depth to ~2 tiles per device
+            while len(pending) > 2 * len(devices):
+                pending.pop(0).result()
         for fut in pending:
             fut.result()
 
 
-class _null:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
+from contextlib import nullcontext as _null  # noqa: E402

@@ -47,6 +47,9 @@ def _load():
         lib.dpai_level_info.restype = ctypes.c_int
         lib.dpai_description.argtypes = [ctypes.c_void_p]
         lib.dpai_description.restype = ctypes.c_char_p
+        lib.dpai_resolution.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_float),
+                                        ctypes.POINTER(ctypes.c_int)]
         lib.dpai_read_region.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint8)]
@@ -78,6 +81,8 @@ class _Page:
     bits: int
     description: str = ""
     sample_format: int = 1
+    x_resolution: float = 0.0
+    resolution_unit: int = 2
 
 
 class NativeTiffReader:
@@ -91,6 +96,9 @@ class NativeTiffReader:
             raise ValueError(f"{path}: not a TIFF file (native open failed)")
         n = lib.dpai_level_count(self._h)
         desc = (lib.dpai_description(self._h) or b"").decode("utf-8", "replace")
+        xres = ctypes.c_float(0.0)
+        unit = ctypes.c_int(2)
+        lib.dpai_resolution(self._h, ctypes.byref(xres), ctypes.byref(unit))
         self.pages: List[_Page] = []
         info = (ctypes.c_uint32 * 6)()
         for i in range(n):
@@ -99,7 +107,9 @@ class NativeTiffReader:
                 width=int(info[0]), height=int(info[1]),
                 tile_width=int(info[2]), tile_height=int(info[3]),
                 samples=3, bits=int(info[5]),
-                description=desc if i == 0 else ""))
+                description=desc if i == 0 else "",
+                x_resolution=float(xres.value) if i == 0 else 0.0,
+                resolution_unit=int(unit.value)))
 
     def read_region(self, level: int, x: int, y: int, w: int, h: int) -> np.ndarray:
         out = np.empty((h, w, 3), np.uint8)

@@ -167,6 +167,7 @@ class TiffPage:
     description: str = ""
     x_resolution: float = 0.0
     resolution_unit: int = 2  # 2=inch, 3=cm
+    byte_order: str = "<"
 
     @property
     def is_tiled(self) -> bool:
@@ -174,14 +175,15 @@ class TiffPage:
 
     @property
     def dtype(self) -> np.dtype:
+        bo = self.byte_order
         if self.sample_format == SAMPLEFORMAT_FLOAT:
-            return np.dtype("<f4") if self.bits == 32 else np.dtype("<f8")
+            return np.dtype(bo + ("f4" if self.bits == 32 else "f8"))
         if self.bits == 8:
             return np.dtype(np.uint8)
         if self.bits == 16:
-            return np.dtype("<u2")
+            return np.dtype(bo + "u2")
         if self.bits == 32:
-            return np.dtype("<u4")
+            return np.dtype(bo + "u4")
         raise ValueError(f"unsupported bits per sample: {self.bits}")
 
     @property
@@ -310,6 +312,7 @@ class TiffReader:
             ),
             x_resolution=float(one(TAG_X_RESOLUTION, 0.0) or 0.0),
             resolution_unit=int(one(TAG_RESOLUTION_UNIT, 2)),
+            byte_order=self._bo,
         )
         return page, next_ifd
 
@@ -353,6 +356,13 @@ class TiffReader:
             # JPEG blocks may come back padded to MCU multiples; crop below.
             return arr[:block_h, :block_w, :page.samples if page.samples <= arr.shape[2] else arr.shape[2]]
 
+        if page.photometric == PHOTOMETRIC_PALETTE:
+            raise ValueError(
+                "palette-color TIFFs are not supported (indices would be "
+                "silently misread as intensities)")
+        if page.photometric == PHOTOMETRIC_YCBCR:
+            raise ValueError(
+                "YCbCr without JPEG compression is not supported")
         if comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
             raw = zlib.decompress(data)
         elif comp == COMPRESSION_LZW:
@@ -366,6 +376,9 @@ class TiffReader:
         arr = arr.reshape(block_h, block_w, page.samples)
         if page.predictor == 2 and dtype == np.uint8:
             arr = _undo_horizontal_predictor(arr)
+        if page.photometric == PHOTOMETRIC_MINISWHITE:
+            mx = 255 if dtype == np.uint8 else (1 << page.bits) - 1
+            arr = (mx - arr).astype(arr.dtype)
         return arr
 
     def _tile(self, level: int, idx: int) -> np.ndarray:

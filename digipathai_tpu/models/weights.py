@@ -109,4 +109,14 @@ def load_variables(bundle, mode: str, model: str, patch_size: int,
     if not allow_random:
         raise IOError(
             f"weights for {mode}/{model} unavailable and allow_random=False")
+    import warnings
+
+    warnings.warn(
+        f"trained weights for {mode}/{model} are unavailable "
+        f"(offline or download failed) — falling back to RANDOM "
+        f"initialization; segmentation output will be meaningless. "
+        f"Pass allow_random_weights=False to fail instead.",
+        stacklevel=2)
+    if status is not None:
+        status["weights"] = "random"
     return template

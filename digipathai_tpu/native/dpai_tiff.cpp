@@ -64,6 +64,8 @@ struct Reader {
   std::string path;
   std::vector<LevelInfo> levels;
   std::string description;
+  float x_resolution = 0.0f;
+  uint16_t resolution_unit = 2;  // 2=inch, 3=cm
   TileCache cache;
   // handle pool
   std::vector<TIFF *> pool;
@@ -126,6 +128,9 @@ void *dpai_open(const char *path) {
       char *desc = nullptr;
       if (TIFFGetField(t, TIFFTAG_IMAGEDESCRIPTION, &desc) && desc)
         r->description = desc;
+      float xres = 0.0f;
+      if (TIFFGetField(t, TIFFTAG_XRESOLUTION, &xres)) r->x_resolution = xres;
+      TIFFGetFieldDefaulted(t, TIFFTAG_RESOLUTIONUNIT, &r->resolution_unit);
     }
     r->levels.push_back(li);
   } while (TIFFReadDirectory(t));
@@ -160,6 +165,12 @@ int dpai_level_info(void *h, int level, uint32_t *out) {
 
 const char *dpai_description(void *h) {
   return static_cast<Reader *>(h)->description.c_str();
+}
+
+void dpai_resolution(void *h, float *xres, int *unit) {
+  auto *r = static_cast<Reader *>(h);
+  *xres = r->x_resolution;
+  *unit = r->resolution_unit;
 }
 
 // Reads a (w x h) RGB region at `level` into out (h*w*3 bytes, row-major).

@@ -138,7 +138,9 @@ def mean_field_crf(image_u8: jnp.ndarray, probs_fg: jnp.ndarray,
     q = jnp.stack([1.0 - probs_fg, probs_fg], axis=-1)
     u = -jnp.log(jnp.clip(q, 1e-5, 1.0))  # unary_from_softmax w/ clip
 
-    ds = bil_downsample
+    # clamp: tiny edge chunks (h or w < bil_downsample) would yield an
+    # empty downsampled grid and an un-paddable empty axis
+    ds = max(1, min(bil_downsample, h, w))
     hd, wd = h // ds, w // ds
     img_small = image_u8[:hd * ds, :wd * ds].astype(jnp.float32)
     img_small = img_small.reshape(hd, ds, wd, ds, 3).mean((1, 3))

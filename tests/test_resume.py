@@ -54,6 +54,27 @@ class TestResume:
         assert state["completed"]
         np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
 
+    def test_resume_after_complete_run_does_not_refinalize(self, tmp_path,
+                                                           monkeypatch):
+        """Regression: finalize is non-idempotent (mean /= count); resuming a
+        COMPLETED run must not divide the maps again (probs would shrink and
+        the thresholded mask would collapse)."""
+        from tests.fixtures import make_synthetic_slide
+        from digipathai_tpu.io.slide import Slide
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = str(tmp_path / "ref-slide.tiff")
+        make_synthetic_slide(p, 512, 512, seed=33)
+        out1, _ = self._run(p, tmp_path, resume=False, tag="c")
+        with Slide(str(tmp_path / "cp.tiff")) as s:
+            probs1 = s.read_level(s.level_count - 1)[:, :, 0].copy()
+        out2, _ = self._run(p, tmp_path, resume=True, tag="c")
+        with Slide(str(tmp_path / "cp.tiff")) as s:
+            probs2 = s.read_level(s.level_count - 1)[:, :, 0].copy()
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        np.testing.assert_array_equal(probs1, probs2)
+
     def test_config_change_invalidates_state(self, tmp_path, monkeypatch):
         from tests.fixtures import make_synthetic_slide
         from digipathai_tpu.engine.segmentation import getSegmentation
