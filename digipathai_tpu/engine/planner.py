@@ -70,10 +70,19 @@ def plan_patches(slide, patch: int = 256, stride: int = 128, batch: int = 32,
 
     level = slide.level_count - 1  # reference forces the coarsest level
     downsample = int(round(slide.level_downsamples[level]))
-    stride_lvl = max(1, stride // downsample)
 
     X_slide, Y_slide = slide.dimensions
     img = slide.read_level(level)                      # (h, w, 3)
+    # flat/shallow pyramids: the "coarsest" level can still be huge (the
+    # reference would OOM here); decimate by powers of 2 to <= 64 MP,
+    # keeping the power-of-2 resolution invariant
+    extra = 1
+    while (img.shape[0] // extra) * (img.shape[1] // extra) > (1 << 26):
+        extra *= 2
+    if extra > 1:
+        img = img[::extra, ::extra]
+        downsample *= extra
+    stride_lvl = max(1, stride // downsample)
     img_xyc = np.ascontiguousarray(np.transpose(img, (1, 0, 2)))  # (X, Y, 3)
 
     # one fused XLA call: tissue mask + morphology (see ops.morphology.plan_mask)
