@@ -46,6 +46,8 @@ def main():
     tile_mode = os.environ.get("DPAI_BENCH_MODE") == "tile"
     if quick:
         names, tta = ["dense"], ["DEFAULT"]
+    if os.environ.get("DPAI_BENCH_MODELS"):
+        names = os.environ["DPAI_BENCH_MODELS"].split(",")
 
     if tile_mode:
         return bench_tile(names, tta, patch)
