@@ -109,6 +109,10 @@ def load_variables(bundle, mode: str, model: str, patch_size: int,
     if not allow_random:
         raise IOError(
             f"weights for {mode}/{model} unavailable and allow_random=False")
+    return _random_fallback(template, mode, model, status)
+
+
+def _random_fallback(template, mode, model, status):
     import warnings
 
     warnings.warn(
@@ -120,3 +124,39 @@ def load_variables(bundle, mode: str, model: str, patch_size: int,
     if status is not None:
         status["weights"] = "random"
     return template
+
+
+def main(argv=None) -> int:
+    """CLI: prefetch and convert trained weights.
+
+        python -m digipathai_tpu.models.weights prefetch --mode breast
+    """
+    import argparse
+
+    from .registry import build_model
+
+    ap = argparse.ArgumentParser(prog="digipathai_tpu.models.weights")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    pf = sub.add_parser("prefetch", help="download + convert checkpoints")
+    pf.add_argument("--mode", choices=sorted(MODES), required=True)
+    pf.add_argument("--models", nargs="+", default=list(MODEL_KEYS),
+                    choices=list(MODEL_KEYS))
+    pf.add_argument("--patch-size", type=int, default=256)
+    args = ap.parse_args(argv)
+
+    ok = True
+    for model in args.models:
+        try:
+            b = build_model(model)
+            load_variables(b, args.mode, model, args.patch_size,
+                           allow_random=False)
+            print(f"{args.mode}/{model}: ready "
+                  f"({cache_dir() / 'converted'})")
+        except IOError as e:
+            ok = False
+            print(f"{args.mode}/{model}: FAILED — {e}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
