@@ -271,19 +271,47 @@ def getSegmentation(img_path,
         acc = None
         cur_group = -1
 
+        # bucketed crop sizes: sparse supertiles transfer a fraction of the
+        # accumulator (the tissue bbox rounded up to one of 3 sizes, so at
+        # most 9 compiled crop variants exist)
+        acc_side = supertile + patch_size
+        buckets = sorted({(acc_side + 3) // 4, (acc_side + 1) // 2, acc_side})
+
+        import functools as _ft
+
+        @_ft.partial(jax.jit, static_argnames=("planes", "bx", "by"))
+        def crop_fetch(acc2d, x0, y0, *, planes, bx, by):
+            import jax.lax as lax
+
+            sl = lax.dynamic_slice(acc2d, (0, x0, y0), (planes, bx, by))
+            return jnp.transpose(sl, (0, 2, 1))
+
         def flush(acc, gi):
             g = plan.groups[gi]
             ox, oy = g.origin
-            hx = min(supertile + patch_size, X - ox)
-            hy = min(supertile + patch_size, Y - oy)
-            # transpose on device (free layout change) so host writeback is
-            # row-contiguous in the (Y, X) memmaps
+            hx = min(acc_side, X - ox)
+            hy = min(acc_side, Y - oy)
+            # tissue bbox within the accumulator
+            c = g.coords[g.valid]
+            rx0 = int(c[:, 0].min() - ox)
+            ry0 = int(c[:, 1].min() - oy)
+            sx = int(c[:, 0].max() - ox) + patch_size - rx0
+            sy = int(c[:, 1].max() - oy) + patch_size - ry0
+            bx = next(b for b in buckets if b >= sx)
+            by = next(b for b in buckets if b >= sy)
+            rx0 = min(rx0, acc_side - bx)
+            ry0 = min(ry0, acc_side - by)
             with timer.stage("flush"):
-                host = np.asarray(jax.device_get(jnp.transpose(
-                    fetch_acc(acc)[0:fetch_planes], (0, 2, 1))))
-                mean_map[oy:oy + hy, ox:ox + hx] += host[0, :hy, :hx]
+                host = np.asarray(jax.device_get(crop_fetch(
+                    fetch_acc(acc)[0:fetch_planes],
+                    rx0, ry0, planes=fetch_planes, bx=bx, by=by)))
+                # host block is (planes, by, bx) at map offset (oy+ry0, ox+rx0)
+                wy = min(by, hy - ry0)
+                wx = min(bx, hx - rx0)
+                my, mx = oy + ry0, ox + rx0
+                mean_map[my:my + wy, mx:mx + wx] += host[0, :wy, :wx]
                 if fetch_planes > 1:
-                    var_map[oy:oy + hy, ox:ox + hx] += host[1, :hy, :hx]
+                    var_map[my:my + wy, mx:mx + wx] += host[1, :wy, :wx]
                 add_counts_host(count_map, g.coords, g.valid, g.origin,
                                 patch_size)
             completed.add(gi)
