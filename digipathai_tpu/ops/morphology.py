@@ -110,6 +110,33 @@ def tissue_mask(img_xyc_u8) -> jnp.ndarray:
     return _tissue_mask_core(jnp.asarray(img_xyc_u8))
 
 
+def tissue_mask_saturation_binary(img_xyc_u8) -> jnp.ndarray:
+    """Nonzero-saturation mask (HSV S > 0).
+
+    Parity target: ``TissueMaskGeneration_BIN(OS)``
+    (``reference DigiPathAI/helpers/utils.py:357-365,388-396``) — a plain
+    binary threshold of the saturation channel.
+    """
+    from .color import rgb_to_hsv_saturation
+
+    img = jnp.asarray(img_xyc_u8)
+    return rgb_to_hsv_saturation(img) > 0.0
+
+
+def tissue_mask_saturation_otsu(img_xyc_u8) -> jnp.ndarray:
+    """Otsu-thresholded saturation mask.
+
+    Parity target: ``TissueMaskGeneration_BIN_OTSU(OS)``
+    (``reference DigiPathAI/helpers/utils.py:367-375,398-406``).
+    """
+    from .color import rgb_to_hsv_saturation
+    from .otsu import otsu_threshold
+
+    img = jnp.asarray(img_xyc_u8)
+    sat = rgb_to_hsv_saturation(img)
+    return sat > otsu_threshold(sat)
+
+
 def tissue_mask_patch(patch_rgb: jnp.ndarray) -> jnp.ndarray:
     """Patch-level threshold mask (r<235 | g<210 | b<235).
 
