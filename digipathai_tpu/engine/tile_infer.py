@@ -107,6 +107,8 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
 
     import numpy as np
 
+    import functools
+
     X, Y = plan.slide_dims
     S = plan.supertile
     step = build_tile_step(bundles, tta_full, S, halo,
@@ -119,19 +121,42 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
     done = len(completed)
     lock = threading.Lock()
 
+    # bucketed tissue-bbox crop before fetching (see segmentation.flush):
+    # sparse supertiles move a fraction of the S^2 result planes
+    buckets = sorted({(S + 3) // 4, (S + 1) // 2, S})
+
+    @functools.partial(jax.jit, static_argnames=("bx", "by"))
+    def crop2(arr, x0, y0, *, bx, by):
+        return jax.lax.dynamic_slice(arr, (x0, y0), (bx, by))
+
     def flush(mean, var, gi, g):
         nonlocal done
         ox, oy = g.origin
         w = min(S, X - ox)
         h = min(S, Y - oy)
+        c = g.coords[g.valid]
+        patch = 2 * halo
+        rx0 = max(0, int(c[:, 0].min() - ox) - halo)
+        ry0 = max(0, int(c[:, 1].min() - oy) - halo)
+        sx = min(S, int(c[:, 0].max() - ox) + patch + halo) - rx0
+        sy = min(S, int(c[:, 1].max() - oy) + patch + halo) - ry0
+        bx = next(b for b in buckets if b >= sx)
+        by = next(b for b in buckets if b >= sy)
+        rx0 = min(rx0, S - bx)
+        ry0 = min(ry0, S - by)
         ctx = timer.stage("flush") if timer else _null()
         with ctx:
-            mean_h = np.asarray(jax.device_get(mean))
-            var_h = np.asarray(jax.device_get(var))
+            mean_h = np.asarray(jax.device_get(
+                crop2(mean, rx0, ry0, bx=bx, by=by)))
+            var_h = np.asarray(jax.device_get(
+                crop2(var, rx0, ry0, bx=bx, by=by)))
             # maps are (Y, X); tile arrays are (x, y)
-            mean_map[oy:oy + h, ox:ox + w] = mean_h[:w, :h].T
-            var_map[oy:oy + h, ox:ox + w] = var_h[:w, :h].T
-            count_map[oy:oy + h, ox:ox + w] = 1.0
+            wy = min(by, h - ry0)
+            wx = min(bx, w - rx0)
+            my, mx = oy + ry0, ox + rx0
+            mean_map[my:my + wy, mx:mx + wx] = mean_h[:wx, :wy].T
+            var_map[my:my + wy, mx:mx + wx] = var_h[:wx, :wy].T
+            count_map[my:my + wy, mx:mx + wx] = 1.0
         with lock:
             done += 1
             completed.add(gi)
