@@ -145,7 +145,8 @@ class TestWeightsFallback:
         monkeypatch.setenv("DPAI_OFFLINE", "1")
         monkeypatch.setenv("DPAI_CACHE", str(tmp_path))
         b = build_model("tiny")
-        v = weights.load_variables(b, "breast", "dense", patch_size=32)
+        with pytest.warns(UserWarning, match="RANDOM"):
+            v = weights.load_variables(b, "breast", "dense", patch_size=32)
         assert "params" in v
 
     def test_not_allow_random_raises(self, tmp_path, monkeypatch):
