@@ -129,6 +129,12 @@ class NativeTiffReader:
             self._lib.dpai_close(self._h)
             self._h = None
 
+    def __del__(self):  # last-reference safety net (cache eviction relies on it)
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
     def __enter__(self):
         return self
 

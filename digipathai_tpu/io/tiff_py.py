@@ -224,6 +224,12 @@ class TiffReader:
             os.close(self._fd)
             self._fd = None
 
+    def __del__(self):  # last-reference safety net (cache eviction relies on it)
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
     def __enter__(self):
         return self
 

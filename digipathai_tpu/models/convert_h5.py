@@ -155,10 +155,11 @@ def keras_h5_to_flax(h5_path: str, variables: Dict[str, Any],
                 unmatched.append((layer, suffix, f"no leaf {leaf}"))
                 continue
             if suffix == "depthwise_kernel:0":
-                # Keras depthwise (H, W, C, M) -> flax grouped-conv (H, W, 1, C*M)
+                # Keras depthwise (H, W, C, M) -> flax grouped-conv
+                # (H, W, 1, C*M). Both order outputs as c*M + m, so a plain
+                # C-order reshape is the correct mapping for any M.
                 h, w, c, m = arr.shape
-                arr = np.transpose(arr, (0, 1, 3, 2)).reshape(h, w, 1, c * m) \
-                    if m != 1 else arr.reshape(h, w, 1, c)
+                arr = arr.reshape(h, w, 1, c * m)
             if tuple(want.shape) != tuple(arr.shape):
                 raise ValueError(
                     f"shape mismatch for {layer}/{suffix}: "
@@ -177,14 +178,19 @@ def keras_h5_to_flax(h5_path: str, variables: Dict[str, Any],
 
 
 def coverage_report(h5_path: str, variables: Dict[str, Any]) -> Dict[str, list]:
-    """Which flax layers would (not) be filled by this checkpoint."""
+    """Which flax layers would (not) be filled by this checkpoint.
+
+    Applies the same auto-name offset correction as ``keras_h5_to_flax``.
+    """
     import h5py
 
     with h5py.File(h5_path, "r") as f:
-        h5_layers = {layer.replace("/", "__") for layer, _, _ in _h5_weight_items(f)}
+        raw = {layer for layer, _, _ in _h5_weight_items(f)}
     ours = set()
     for coll in variables:
         ours |= set(variables[coll].keys())
+    offsets = _detect_auto_offsets(raw, ours)
+    h5_layers = {_unshift(n, offsets).replace("/", "__") for n in raw}
     return {
         "matched": sorted(ours & h5_layers),
         "ours_only": sorted(ours - h5_layers),

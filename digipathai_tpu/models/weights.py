@@ -96,8 +96,24 @@ def load_variables(bundle, mode: str, model: str, patch_size: int,
     h5 = ensure_h5(mode, model, status=status)
     template = bundle.init(patch_size, seed=seed)
     if h5 is not None:
-        from .convert_h5 import keras_h5_to_flax
+        from .convert_h5 import coverage_report, keras_h5_to_flax
 
+        # a misaligned checkpoint must fail loudly, not cache half-random
+        # weights that look like trained output
+        rep = coverage_report(str(h5), template)
+        n_ours = len(rep["matched"]) + len(rep["ours_only"])
+        if rep["ours_only"]:
+            import warnings
+
+            warnings.warn(
+                f"{mode}/{model}: {len(rep['ours_only'])}/{n_ours} layers "
+                f"not present in the checkpoint (e.g. {rep['ours_only'][:3]})",
+                stacklevel=2)
+        if n_ours and len(rep["ours_only"]) > 0.05 * n_ours:
+            raise IOError(
+                f"checkpoint {h5} does not match the {model} architecture: "
+                f"{len(rep['ours_only'])}/{n_ours} layers unmatched "
+                f"(first: {rep['ours_only'][:5]})")
         variables = keras_h5_to_flax(str(h5), template, strict=False)
         conv_path.parent.mkdir(parents=True, exist_ok=True)
         tmp = conv_path.with_suffix(".tmp")

@@ -26,20 +26,16 @@ AXES = ("dp", "sp", "mp")
 
 
 def factor_devices(n: int) -> Tuple[int, int, int]:
-    """Split n devices into (dp, sp, mp), preferring dp > sp > mp."""
-    def largest_pow2(x):
-        p = 1
-        while p * 2 <= x:
-            p *= 2
-        return p
+    """Split n devices into (dp, sp, mp) with dp * sp * mp == n exactly.
 
-    n2 = largest_pow2(n)
-    dp = max(1, n2 // 4)
-    rem = n2 // dp
-    sp = max(1, rem // 2)
-    mp = rem // sp
-    # non-power-of-2 leftovers go to dp
-    dp *= n // n2
+    sp and mp take at most a factor of 2 each from n's power-of-2 part;
+    everything else (including any odd factor) goes to dp.
+    """
+    pow2 = n & -n  # largest power of 2 dividing n
+    sp = 2 if pow2 >= 2 else 1
+    mp = 2 if pow2 >= 4 else 1
+    dp = n // (sp * mp)
+    assert dp * sp * mp == n
     return dp, sp, mp
 
 

@@ -63,11 +63,16 @@ class SlideCache:
         slide = Slide(path)
         dz = DeepZoomGenerator(slide, **self.dz_opts)
         with self._lock:
-            if path not in self._cache:
-                if len(self._cache) >= self.cache_size:
-                    _, old = self._cache.popitem(last=False)
-                    old.slide.close()
-                self._cache[path] = dz
+            if path in self._cache:
+                # another thread won the race; drop our duplicate handle
+                slide.close()
+                return self._cache[path]
+            if len(self._cache) >= self.cache_size:
+                # evict without closing: concurrent requests may still be
+                # reading tiles; the reader's finalizer closes the fd once
+                # the last reference dies
+                self._cache.popitem(last=False)
+            self._cache[path] = dz
         return dz
 
 
@@ -86,6 +91,10 @@ def get_mask_path(path: str):
 
 
 def get_uncertainty_path(path: str) -> str:
+    """Reference-parity helper (main_server.py:125-128): replaces the last
+    '-'-segment with 'uncertainty'. Note it mangles paths without a '-dgai'
+    suffix, exactly like the reference; the viewer derives overlay URLs with
+    the saner '-dgai-uncertainty' convention instead (slide_page)."""
     return "-".join(path.split("-")[:-1] + ["uncertainty"]) + "." + path.split(".")[-1]
 
 
@@ -120,10 +129,10 @@ def get_slide_properties(path: str) -> dict:
         w, h = s.dimensions
     props = {"Dimensions": f"{h} x {w} pixel"}
     area = w * h
-    if area // int(1e6):
+    if area >= 1e6:
         props["Area"] = f"{area // int(1e6)} million pixels"
-    elif area // int(1e3):
-        props["Area"] = f"{area // int(1e4)} thousand pixels"
+    elif area >= 1e3:
+        props["Area"] = f"{area // int(1e3)} thousand pixels"
     else:
         props["Area"] = f"{area} pixels"
     return props
@@ -224,7 +233,9 @@ def create_app(config: Optional[ServerConfig] = None,
             root, ext = os.path.splitext(slide_url)
             mask_url = root + "-dgai-mask" + ext
             uncertainty_url = root + "-dgai-uncertainty" + ext
-            if not os.path.exists(_resolve(mask_url.lstrip("/"))):
+            # existence checks must not abort the page (a mask saved with a
+            # different extension just hides the overlay)
+            if not os.path.exists(os.path.join(basedir, mask_url.lstrip("/"))):
                 mask_url = None
             unc_fs = os.path.join(basedir, uncertainty_url.lstrip("/"))
             if not os.path.exists(unc_fs):

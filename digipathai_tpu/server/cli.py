@@ -53,6 +53,7 @@ def build_config(argv=None) -> tuple:
         layers.append(runpy.run_path(env_file))
     if opts.config:
         layers.append(runpy.run_path(opts.config))
+    layer_set_viewer_only = any("VIEWER_ONLY" in layer for layer in layers)
     mapping = {
         "SLIDE_DIR": "slide_dir",
         "SLIDE_CACHE_SIZE": "slide_cache_size",
@@ -83,7 +84,12 @@ def build_config(argv=None) -> tuple:
         cfg.slide_dir = opts.positional_dir
     if cfg.slide_dir is None:
         cfg.slide_dir = "."
-    cfg.viewer_only = bool(opts.viewer_only)  # reference: only True if flagged
+    # precedence: --viewer-only flag > config-file VIEWER_ONLY > default
+    # False (the reference CLI enables segmentation unless flagged)
+    if opts.viewer_only:
+        cfg.viewer_only = True
+    elif not layer_set_viewer_only:
+        cfg.viewer_only = False
     return cfg, opts
 
 

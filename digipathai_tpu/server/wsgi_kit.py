@@ -66,9 +66,13 @@ class Response:
 
     @classmethod
     def abort(cls, status: int, message: str = "") -> "Response":
+        import html as _html
+
         text = {404: "Not Found", 400: "Bad Request", 405: "Method Not Allowed",
                 500: "Internal Server Error"}.get(status, "Error")
-        return cls(f"<h1>{status} {text}</h1><p>{message}</p>", status)
+        # escape: the message often echoes the request path (reflected XSS)
+        return cls(f"<h1>{status} {text}</h1><p>{_html.escape(message)}</p>",
+                   status)
 
     _STATUS_TEXT = {200: "OK", 400: "Bad Request", 404: "Not Found",
                     405: "Method Not Allowed", 500: "Internal Server Error"}
