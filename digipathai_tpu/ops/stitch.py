@@ -60,20 +60,66 @@ def make_accumulator(supertile: int, patch: int, planes: int = 3) -> jnp.ndarray
 
 
 def add_counts_host(count_map, coords, valid, origin, patch: int):
-    """Analytic count-plane accumulation on the host.
+    """Analytic count-plane accumulation on the host, vectorized.
 
     ``count_map`` is the (Y, X) memmap; ``coords`` are level-0 (x, y) patch
     top-lefts.  Equivalent to stitching a ones-plane on device, minus the
     HBM->host transfer of a full accumulator plane.
+
+    Each patch is a +1 rectangle, so the group's counts are a 2D difference
+    array (four corner deltas per patch via ``np.add.at``) integrated with two
+    in-place cumsums over the group's bounding region — O(region) work instead
+    of the reference's per-patch slice-add loop, the SURVEY.md §3.3 bottleneck
+    (``reference DigiPathAI/Segmentation.py:164-173``).
     """
     import numpy as np
 
+    coords = np.asarray(coords)[np.asarray(valid, bool)]
+    if coords.size == 0:
+        return
     Y, X = count_map.shape
-    for (x, y), ok in zip(np.asarray(coords), np.asarray(valid)):
-        if not ok:
-            continue
-        x0, y0 = int(x), int(y)
-        count_map[y0:min(y0 + patch, Y), x0:min(x0 + patch, X)] += 1.0
+    xs = coords[:, 0].astype(np.int64)
+    ys = coords[:, 1].astype(np.int64)
+    x0r, y0r = int(xs.min()), int(ys.min())
+    x1r = min(int(xs.max()) + patch, X)
+    y1r = min(int(ys.max()) + patch, Y)
+    H, W = y1r - y0r, x1r - x0r
+    # interval deltas, patch extents clamped to the map bounds (+ side)
+    ya, yb = ys - y0r, np.minimum(ys + patch, Y) - y0r
+    xa, xb = xs - x0r, np.minimum(xs + patch, X) - x0r
+
+    # Row-span decomposition: the count plane is piecewise-constant in y
+    # between breakpoints (the set of patch start/end rows — for planner
+    # grids, ~2 * supertile/stride values).  Build one 1D x-interval diff
+    # profile per breakpoint, integrate the small (n_break, W) profile array
+    # (both cumsums run over n_break * W elements, not H * W), then
+    # broadcast-add each span's constant row into the map.  Total work is
+    # O(region + n_patches) with no per-patch loop.
+    bps = np.unique(np.concatenate([ya, yb]))
+    if len(bps) * (W + 1) * 4 > (128 << 20):
+        # pathological non-grid scatter: bound the profile array by splitting
+        # the patch set at the median row and recursing (planner grids never
+        # hit this — they have ~2 * supertile/stride breakpoints)
+        lo = ys <= np.median(ys)
+        ones = np.ones(len(coords), bool)
+        add_counts_host(count_map, coords[lo], ones[lo], origin, patch)
+        add_counts_host(count_map, coords[~lo], ones[~lo], origin, patch)
+        return
+    ia = np.searchsorted(bps, ya)
+    ib = np.searchsorted(bps, yb)
+    prof = np.zeros((len(bps), W + 1), np.float32)
+    np.add.at(prof, (ia, xa), 1.0)
+    np.add.at(prof, (ia, xb), -1.0)
+    np.add.at(prof, (ib, xa), -1.0)
+    np.add.at(prof, (ib, xb), 1.0)
+    np.cumsum(prof, axis=0, out=prof)
+    np.cumsum(prof, axis=1, out=prof)
+    span_ends = np.append(bps[1:], H)
+    region = count_map[y0r:y1r, x0r:x1r]
+    for k in range(len(bps)):
+        if bps[k] >= H:
+            break
+        region[bps[k]:span_ends[k]] += prof[k, :-1]
 
 
 def finalize_maps(mean_sum, var_sum, count):
