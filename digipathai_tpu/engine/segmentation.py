@@ -180,42 +180,61 @@ def getSegmentation(img_path,
                             batch=global_batch, supertile=supertile,
                             mask_level=mask_level)
     X, Y = plan.slide_dims
-    stem = Path(str(img_path)).stem
     mdir = _memmap_dir()
 
     # --- restartable stitching state (SURVEY.md §5: new vs reference) ----
     import hashlib
     import json
 
+    # key scratch/state by basename + a short hash of the absolute path so
+    # same-named slides in different directories never share memmaps/state
+    abs_path = os.path.abspath(str(img_path))
+    path_tag = hashlib.sha256(abs_path.encode()).hexdigest()[:10]
+    stem = f"{Path(str(img_path)).stem}-{path_tag}"
+
     cfg_key = hashlib.sha256(repr((
-        X, Y, patch_size, stride_size, global_batch, supertile,
+        abs_path, X, Y, patch_size, stride_size, global_batch, supertile,
         tuple(model_names), tuple(tta_full), faithful_tta,
         inference_mode, mask_predictions)).encode()).hexdigest()
     state_path = mdir / f"{stem}-stitch.json"
     completed: set = set()
+    crf_tiles_done: set = set()
     mode_mm = "w+"
     finalized = False
     if resume and state_path.exists():
         try:
             state = json.loads(state_path.read_text())
-            if state.get("config") == cfg_key:
+            # a non-empty "inflight" means a previous run crashed while
+            # adding a supertile into the maps: the maps may hold partial
+            # (unrepeatable) additions, so the resume state is tainted
+            if state.get("config") == cfg_key and not state.get("inflight"):
                 completed = set(state.get("completed", []))
+                crf_tiles_done = set(state.get("crf_tiles", []))
                 finalized = bool(state.get("finalized", False))
                 mode_mm = "r+"
         except (ValueError, OSError):
             pass
 
+    if mode_mm == "w+":  # fresh run: staged CRF tiles from older runs are stale
+        for _sp in mdir.glob(f"{stem}-crftile-*.npz"):
+            _sp.unlink()
+
     mean_map = np.memmap(mdir / f"{stem}-mean.dat", np.float32, mode_mm, shape=(Y, X))
     var_map = np.memmap(mdir / f"{stem}-var.dat", np.float32, mode_mm, shape=(Y, X))
     count_map = np.memmap(mdir / f"{stem}-count.dat", np.float32, mode_mm, shape=(Y, X))
 
-    def save_state(mark_finalized: bool = False):
+    def save_state(mark_finalized: bool = False, inflight=None):
         # finalize is non-idempotent (mean /= count); the marker prevents a
-        # resumed run from dividing already-finalized maps a second time
+        # resumed run from dividing already-finalized maps a second time.
+        # "inflight" names a group whose memmap += writes are about to start;
+        # it is cleared by the next save once they complete (crash in between
+        # -> resume sees the taint and restarts, never double-adds).
         tmp = state_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(
             {"config": cfg_key, "completed": sorted(completed),
-             "finalized": mark_finalized or finalized}))
+             "crf_tiles": sorted(crf_tiles_done),
+             "finalized": mark_finalized or finalized,
+             "inflight": [inflight] if inflight is not None else []}))
         os.replace(tmp, state_path)
 
     variables_tuple = tuple(variables_list)
@@ -305,6 +324,7 @@ def getSegmentation(img_path,
                 host = np.asarray(jax.device_get(crop_fetch(
                     fetch_acc(acc)[0:fetch_planes],
                     rx0, ry0, planes=fetch_planes, bx=bx, by=by)))
+                save_state(inflight=gi)  # taint marker: += is not replayable
                 # host block is (planes, by, bx) at map offset (oy+ry0, ox+rx0)
                 wy = min(by, hy - ry0)
                 wx = min(bx, hx - rx0)
@@ -315,7 +335,7 @@ def getSegmentation(img_path,
                 add_counts_host(count_map, g.coords, g.valid, g.origin,
                                 patch_size)
             completed.add(gi)
-            save_state()
+            save_state()  # clears the inflight taint
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -365,7 +385,38 @@ def getSegmentation(img_path,
         from ..ops.crf import refine_slide_crf
 
         _status_set(status, status="Refining with CRF")
-        refine_slide_crf(slide, mean_map, supertile=supertile)
+
+        # CRF rewrites mean_map in place per tile (non-idempotent), so each
+        # refined tile is staged to disk (atomic rename) before the in-place
+        # assignment and unstaged after the progress marker is persisted; a
+        # crash anywhere is recovered by replaying the staged assignment.
+        def _crf_stage(ti):
+            return mdir / f"{stem}-crftile-{ti}.npz"
+
+        def _crf_write(ti, box, refined):
+            sp = _crf_stage(ti)
+            tmp = sp.with_name("tmp-" + sp.name)
+            np.savez(tmp, box=np.asarray(box), block=refined)
+            os.replace(tmp, sp)
+            y0, y1, x0, x1 = box
+            mean_map[y0:y1, x0:x1] = refined
+            crf_tiles_done.add(ti)
+            save_state()
+            sp.unlink(missing_ok=True)
+
+        # replay tiles staged by a crashed previous run (assignment is
+        # replayable; += is not — hence staging only exists for CRF)
+        for sp in mdir.glob(f"{stem}-crftile-*.npz"):
+            ti = int(sp.stem.rsplit("-", 1)[1])
+            with np.load(sp) as z:
+                y0, y1, x0, x1 = (int(v) for v in z["box"])
+                mean_map[y0:y1, x0:x1] = z["block"]
+            crf_tiles_done.add(ti)
+            save_state()
+            sp.unlink(missing_ok=True)
+
+        refine_slide_crf(slide, mean_map, supertile=supertile,
+                         done=crf_tiles_done, on_tile=_crf_write)
         mark_crf_applied(state_path, cfg_key)
 
     # --- write artifacts -------------------------------------------------

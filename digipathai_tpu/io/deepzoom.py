@@ -22,7 +22,15 @@ class DeepZoomGenerator:
         self.slide = slide
         self.tile_size = int(tile_size)
         self.overlap = int(overlap)
-        w, h = slide.dimensions
+        # limit_bounds crops the pyramid to the slide's non-empty bounds when
+        # the format records them (OpenSlide parity, reference
+        # main_server.py:94-104).  First-party TIFFs expose bounds=None, so
+        # the full image is used; scanner formats (e.g. MRXS) set
+        # ``Slide.bounds`` = (x, y, w, h) in level-0 pixels.
+        bounds = getattr(slide, "bounds", None) if limit_bounds else None
+        self._origin = (int(bounds[0]), int(bounds[1])) if bounds else (0, 0)
+        w, h = (int(bounds[2]), int(bounds[3])) if bounds else slide.dimensions
+        self._l0_dims = (w, h)
         self._dims = [(w, h)]
         while max(self._dims[-1]) > 1:
             w = max(1, (w + 1) // 2)
@@ -45,7 +53,7 @@ class DeepZoomGenerator:
         return tuple((math.ceil(w / t), math.ceil(h / t)) for w, h in self._dims)
 
     def get_dzi(self, fmt: str = "jpeg") -> str:
-        w, h = self.slide.dimensions
+        w, h = self._l0_dims
         return (
             '<?xml version="1.0" encoding="UTF-8"?>'
             f'<Image xmlns="http://schemas.microsoft.com/deepzoom/2008" '
@@ -75,7 +83,9 @@ class DeepZoomGenerator:
         # region in the chosen slide level's pixels
         rw = max(1, int(round(w * scale / ds)))
         rh = max(1, int(round(h * scale / ds)))
-        arr = self.slide.read_region((int(x0 * scale), int(y0 * scale)), sl, (rw, rh))
+        arr = self.slide.read_region(
+            (self._origin[0] + int(x0 * scale),
+             self._origin[1] + int(y0 * scale)), sl, (rw, rh))
         img = Image.fromarray(np.asarray(arr))
         if (rw, rh) != (w, h):
             img = img.resize((w, h), Image.BILINEAR)

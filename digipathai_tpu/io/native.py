@@ -59,6 +59,8 @@ def _load():
             ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_double]
         lib.dpai_write_pyramid.restype = ctypes.c_int
+        lib.dpai_set_cache_size.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.dpai_set_cache_size.restype = None
         _lib = lib
         return _lib
 
@@ -94,6 +96,8 @@ class NativeTiffReader:
         self._h = lib.dpai_open(str(path).encode())
         if not self._h:
             raise ValueError(f"{path}: not a TIFF file (native open failed)")
+        if tile_cache_size:
+            lib.dpai_set_cache_size(self._h, int(tile_cache_size))
         n = lib.dpai_level_count(self._h)
         desc = (lib.dpai_description(self._h) or b"").decode("utf-8", "replace")
         xres = ctypes.c_float(0.0)

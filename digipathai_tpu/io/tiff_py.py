@@ -137,8 +137,11 @@ def lzw_decode(data: bytes) -> bytes:
 
 
 def _undo_horizontal_predictor(arr: np.ndarray) -> np.ndarray:
-    # arr: (rows, cols, samples) uint8 view of one decoded tile/strip
-    return np.cumsum(arr.astype(np.uint16), axis=1).astype(np.uint8)
+    # arr: (rows, cols, samples) integer view of one decoded tile/strip.
+    # TIFF predictor 2 is a per-sample horizontal delta modulo 2^bits;
+    # accumulate in the storage dtype so the wraparound is exact for any
+    # integer width (uint8/uint16/...).
+    return np.add.accumulate(arr, axis=1, dtype=arr.dtype)
 
 
 # --- Reader -------------------------------------------------------------------
@@ -380,8 +383,16 @@ class TiffReader:
         dtype = page.dtype
         arr = np.frombuffer(raw, dtype=dtype, count=block_h * block_w * page.samples)
         arr = arr.reshape(block_h, block_w, page.samples)
-        if page.predictor == 2 and dtype == np.uint8:
+        if page.predictor == 2:
+            if not np.issubdtype(dtype, np.integer):
+                raise ValueError(
+                    f"horizontal predictor on non-integer dtype {dtype} is "
+                    "not supported")
             arr = _undo_horizontal_predictor(arr)
+        elif page.predictor not in (0, 1):
+            raise ValueError(
+                f"unsupported TIFF predictor {page.predictor} "
+                "(only none/horizontal)")
         if page.photometric == PHOTOMETRIC_MINISWHITE:
             mx = 255 if dtype == np.uint8 else (1 << page.bits) - 1
             arr = (mx - arr).astype(arr.dtype)

@@ -24,6 +24,38 @@ MODEL_KEYS = ("dense", "inception", "deeplabv3")
 _RELEASE_BASE = "https://github.com/haranrk/DigiPathAI/releases/download/models"
 _H5_NAME = {"dense": "densenet", "inception": "inception", "deeplabv3": "deeplabv3"}
 
+# Pinned sha256 digests of the release .h5 assets, keyed by release filename.
+# TODO(network): this build environment has zero egress, so the real digests
+# cannot be computed here.  On the first networked machine run
+# ``python -m digipathai_tpu.models.weights pin --mode <mode>`` — it
+# downloads each asset, records its digest into <cache>/pins.json, and prints
+# the literal dict entries to paste below.  A digest that is present but
+# wrong makes ``download()`` fail loudly (no silent corruption).
+_H5_SHA256: dict = {
+    # "digestpath_densenet.h5": "<sha256>",
+    # "digestpath_inception.h5": "<sha256>",
+    # "digestpath_deeplabv3.h5": "<sha256>",
+    # "paip_densenet.h5": "<sha256>",
+    # "paip_inception.h5": "<sha256>",
+    # "paip_deeplabv3.h5": "<sha256>",
+    # "camelyon_densenet.h5": "<sha256>",
+    # "camelyon_inception.h5": "<sha256>",
+    # "camelyon_deeplabv3.h5": "<sha256>",
+}
+
+
+def pinned_sha256(filename: str):
+    """Digest for a release asset: built-in pin, else <cache>/pins.json."""
+    if filename in _H5_SHA256:
+        return _H5_SHA256[filename]
+    import json
+
+    try:
+        pins = json.loads((cache_dir() / "pins.json").read_text())
+        return pins.get(filename)
+    except (OSError, ValueError):
+        return None
+
 
 def cache_dir() -> Path:
     root = os.environ.get("DPAI_CACHE", os.path.join(os.path.expanduser("~"), ".DigiPathAI"))
@@ -78,7 +110,7 @@ def ensure_h5(mode: str, model: str, status=None) -> Optional[Path]:
     if status is not None:
         status["status"] = "Downloading Trained Models"
     try:
-        return download(h5_url(mode, model), p)
+        return download(h5_url(mode, model), p, sha256=pinned_sha256(p.name))
     except IOError:
         return None
 
@@ -158,7 +190,33 @@ def main(argv=None) -> int:
     pf.add_argument("--models", nargs="+", default=list(MODEL_KEYS),
                     choices=list(MODEL_KEYS))
     pf.add_argument("--patch-size", type=int, default=256)
+    pin = sub.add_parser(
+        "pin", help="download assets, record sha256 pins to <cache>/pins.json")
+    pin.add_argument("--mode", choices=sorted(MODES), action="append",
+                     dest="modes", help="repeatable; default: all modes")
     args = ap.parse_args(argv)
+
+    if args.cmd == "pin":
+        import json
+
+        pins_path = cache_dir() / "pins.json"
+        try:
+            pins = json.loads(pins_path.read_text())
+        except (OSError, ValueError):
+            pins = {}
+        for mode in args.modes or sorted(MODES):
+            for model in MODEL_KEYS:
+                p = ensure_h5(mode, model)
+                if p is None:
+                    print(f"{mode}/{model}: download FAILED")
+                    return 1
+                digest = hashlib.sha256(p.read_bytes()).hexdigest()
+                pins[p.name] = digest
+                print(f'    "{p.name}": "{digest}",')
+        pins_path.write_text(json.dumps(pins, indent=1, sort_keys=True))
+        print(f"pins recorded to {pins_path}; paste the lines above into "
+              f"_H5_SHA256 in {__file__}")
+        return 0
 
     ok = True
     for model in args.models:

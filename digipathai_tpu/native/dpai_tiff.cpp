@@ -139,6 +139,17 @@ void *dpai_open(const char *path) {
   return r;
 }
 
+// Resize the decoded-tile LRU (entries, not bytes). Evicts down if shrunk.
+void dpai_set_cache_size(void *h, uint32_t n) {
+  auto *r = static_cast<Reader *>(h);
+  std::lock_guard<std::mutex> lk(r->cache.mu);
+  r->cache.capacity = n > 0 ? n : 1;
+  while (r->cache.map.size() > r->cache.capacity) {
+    r->cache.map.erase(r->cache.order.back());
+    r->cache.order.pop_back();
+  }
+}
+
 void dpai_close(void *h) {
   auto *r = static_cast<Reader *>(h);
   for (TIFF *t : r->pool) TIFFClose(t);

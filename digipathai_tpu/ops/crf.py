@@ -160,17 +160,27 @@ def mean_field_crf(image_u8: jnp.ndarray, probs_fg: jnp.ndarray,
 
 
 def refine_slide_crf(slide, mean_map, supertile: int = 4096,
-                     n_iters: int = 10, **kw) -> None:
+                     n_iters: int = 10, done=None, on_tile=None,
+                     **kw) -> None:
     """Apply mean-field CRF per supertile, updating ``mean_map`` in place.
 
     ``mean_map`` is the finalized (Y, X) float32 probability memmap; the
     matching RGB pixels are re-read from the slide per supertile.
+
+    Resume support (CRF is non-idempotent in place): tiles whose index is in
+    ``done`` are skipped; when ``on_tile(ti, (y0, y1, x0, x1), refined)`` is
+    given, the caller performs the write-back (staging + progress marking),
+    otherwise the tile is assigned directly.
     """
     import numpy as np
 
     Y, X = mean_map.shape
+    ti = -1
     for y0 in range(0, Y, supertile):
         for x0 in range(0, X, supertile):
+            ti += 1
+            if done is not None and ti in done:
+                continue
             y1, x1 = min(y0 + supertile, Y), min(x0 + supertile, X)
             probs = np.asarray(mean_map[y0:y1, x0:x1], np.float32)
             if probs.max() <= 0:
@@ -178,6 +188,10 @@ def refine_slide_crf(slide, mean_map, supertile: int = 4096,
             img = slide.read_region((x0, y0), 0, (x1 - x0, y1 - y0))
             refined = mean_field_crf(jnp.asarray(img), jnp.asarray(probs),
                                      n_iters=n_iters, **kw)
-            mean_map[y0:y1, x0:x1] = np.asarray(jax.device_get(refined))
+            refined_np = np.asarray(jax.device_get(refined))
+            if on_tile is not None:
+                on_tile(ti, (y0, y1, x0, x1), refined_np)
+            else:
+                mean_map[y0:y1, x0:x1] = refined_np
     if hasattr(mean_map, "flush"):
         mean_map.flush()

@@ -104,7 +104,7 @@ html, body, #viewer-root {{ height: 100%; }}
 <div id="dpai-scalebar" style="display:none"></div>
 <script src="/static/dpai/viewer.js"></script>
 <script>
-const SOURCES = {json.dumps(sources)};
+const SOURCES = {json.dumps(sources).replace('</', '<\\/')};
 const MASK_IDX = {1 if mask_url else -1};
 const UNC_IDX = {2 if mask_url and uncertainty_url else (1 if uncertainty_url else -1)};
 const viewer = new DPAIViewer("viewer", SOURCES);

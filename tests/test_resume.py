@@ -75,6 +75,47 @@ class TestResume:
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
         np.testing.assert_array_equal(probs1, probs2)
 
+    def test_inflight_taint_discards_resume_state(self, tmp_path, monkeypatch):
+        """A crash between the inflight marker and completion means the maps
+        hold unrepeatable partial += writes: resume must restart from scratch
+        (and still produce the right answer) instead of double-adding."""
+        from tests.fixtures import make_synthetic_slide
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = str(tmp_path / "taint-slide.tiff")
+        make_synthetic_slide(p, 512, 512, seed=34)
+        ref, total = self._run(p, tmp_path, resume=False, tag="t")
+        out, _ = self._run(p, tmp_path, resume=False,
+                           interrupt_after=total // 2, tag="t")
+        assert out is None
+        state_path = next((tmp_path / "cache").glob("memmaps/*-stitch.json"))
+        state = json.loads(state_path.read_text())
+        assert state["completed"]
+        state["inflight"] = [state["completed"][0]]  # simulate mid-flush crash
+        state_path.write_text(json.dumps(state))
+        out2, n2 = self._run(p, tmp_path, resume=True, tag="t")
+        assert out2 is not None
+        assert n2 >= total  # tainted state discarded -> full rerun
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
+
+    def test_same_basename_different_dirs_do_not_clobber(self, tmp_path,
+                                                         monkeypatch):
+        from tests.fixtures import make_synthetic_slide
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        (tmp_path / "a").mkdir()
+        (tmp_path / "b").mkdir()
+        pa = str(tmp_path / "a" / "slide.tiff")
+        pb = str(tmp_path / "b" / "slide.tiff")
+        make_synthetic_slide(pa, 512, 512, seed=35)
+        make_synthetic_slide(pb, 512, 512, seed=36)
+        self._run(pa, tmp_path, resume=False, tag="da")
+        self._run(pb, tmp_path, resume=False, tag="db")
+        states = list((tmp_path / "cache").glob("memmaps/*-stitch.json"))
+        assert len(states) == 2  # distinct state per path despite same stem
+
     def test_config_change_invalidates_state(self, tmp_path, monkeypatch):
         from tests.fixtures import make_synthetic_slide
         from digipathai_tpu.engine.segmentation import getSegmentation
