@@ -91,7 +91,9 @@ def plan_patches(slide, patch: int = 256, stride: int = 128, batch: int = 32,
     import jax
 
     try:
-        cpu = jax.devices("cpu")[0]
+        # local_devices: under a multi-process runtime jax.devices() leads
+        # with process 0's devices, which other processes cannot address
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
     if cpu is not None:

@@ -166,7 +166,9 @@ def getSegmentation(img_path,
 
     n_dev = 1
     if data_parallel:
-        avail = len(jax.devices())
+        # local devices only: one process drives one slide; multi-host sweeps
+        # shard *slides* across processes (parallel/distributed.py)
+        avail = len(jax.local_devices())
         n_dev = min(avail, data_parallel) if isinstance(data_parallel, int) \
             and data_parallel is not True else avail
     global_batch = batch_size * n_dev

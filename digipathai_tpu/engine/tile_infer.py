@@ -115,7 +115,7 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                            compute_dtype=compute_dtype,
                            faithful_tta=faithful_tta)
     completed = completed if completed is not None else set()
-    devices = jax.devices()[:max(1, n_devices)]
+    devices = jax.local_devices()[:max(1, n_devices)]  # one process per slide
     vars_on = {d: jax.device_put(variables_tuple, d) for d in devices}
     total = max(len(plan.groups), 1)
     done = len(completed)

@@ -31,9 +31,16 @@ from ..ops.stitch import stitch_batch
 
 
 def make_dp_mesh(n_devices=None) -> Mesh:
+    """Grid-DP mesh over this host's LOCAL devices.
+
+    A slide run is driven by one process; in a multi-host sweep each host
+    segments its own slides (parallel/distributed.py), so the inference mesh
+    must never span hosts — a global mesh would make independent per-host
+    runs deadlock in cross-host collectives.
+    """
     import numpy as np
 
-    devices = jax.devices()
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("dp",))
