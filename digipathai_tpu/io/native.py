@@ -85,6 +85,8 @@ class _Page:
     sample_format: int = 1
     x_resolution: float = 0.0
     resolution_unit: int = 2
+    compression: int = 0
+    photometric: int = 0
 
 
 class NativeTiffReader:
@@ -104,16 +106,32 @@ class NativeTiffReader:
         unit = ctypes.c_int(2)
         lib.dpai_resolution(self._h, ctypes.byref(xres), ctypes.byref(unit))
         self.pages: List[_Page] = []
-        info = (ctypes.c_uint32 * 6)()
+        info = (ctypes.c_uint32 * 8)()
+        info2 = getattr(lib, "dpai_level_info2", None)
+        ldesc = getattr(lib, "dpai_level_description", None)
+        if info2 is not None:
+            info2.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                              ctypes.POINTER(ctypes.c_uint32)]
+            info2.restype = ctypes.c_int
+        if ldesc is not None:
+            ldesc.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            ldesc.restype = ctypes.c_char_p
         for i in range(n):
-            lib.dpai_level_info(self._h, i, info)
+            if info2 is not None:
+                info2(self._h, i, info)
+            else:  # stale .so predating info2: compression unknown (0)
+                lib.dpai_level_info(self._h, i, info)
+                info[6] = info[7] = 0
+            page_desc = ((ldesc(self._h, i) or b"").decode("utf-8", "replace")
+                         if ldesc is not None else (desc if i == 0 else ""))
             self.pages.append(_Page(
                 width=int(info[0]), height=int(info[1]),
                 tile_width=int(info[2]), tile_height=int(info[3]),
                 samples=3, bits=int(info[5]),
-                description=desc if i == 0 else "",
+                description=page_desc,
                 x_resolution=float(xres.value) if i == 0 else 0.0,
-                resolution_unit=int(unit.value)))
+                resolution_unit=int(unit.value),
+                compression=int(info[6]), photometric=int(info[7])))
 
     def read_region(self, level: int, x: int, y: int, w: int, h: int) -> np.ndarray:
         out = np.empty((h, w, 3), np.uint8)

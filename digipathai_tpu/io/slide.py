@@ -14,11 +14,15 @@ First-party replacement for ``openslide.OpenSlide`` as used by the reference
 from __future__ import annotations
 
 import os
+import struct
 from typing import Optional, Tuple
 
 import numpy as np
 
 from .backend import open_tiff
+
+
+_J2K_COMPRESSIONS = (33003, 33005)  # Aperio SVS JPEG2000 flavors
 
 
 class Slide:
@@ -27,16 +31,55 @@ class Slide:
         self._r = open_tiff(self.path)
         if not self._r.pages:
             raise ValueError(f"{path}: no images in file")
-        # Pyramid levels must be ordered largest-first; ignore stray pages
-        # that are larger than their predecessor (e.g. thumbnails at the end).
-        pages = []
-        for i, p in enumerate(self._r.pages):
-            if pages and (p.width > pages[-1][1].width or p.height > pages[-1][1].height):
-                break
-            pages.append((i, p))
-        self._page_index = [i for i, _ in pages]
-        self._pages = [p for _, p in pages]
+        self._select_pages()
+        # JPEG2000 SVS tiles need the Python reader (PIL/OpenJPEG); libtiff
+        # builds commonly lack the Aperio 33003/33005 codecs.
+        if any(getattr(p, "compression", 0) in _J2K_COMPRESSIONS
+               for p in self._pages):
+            from . import tiff_py
+
+            if not isinstance(self._r, tiff_py.TiffReader):
+                self._r.close()
+                self._r = tiff_py.TiffReader(self.path)
+                self._select_pages()
         self.properties = self._parse_properties()
+
+    def _select_pages(self):
+        """Pick the pyramid levels out of the file's IFD sequence.
+
+        Scanner TIFFs (Aperio SVS) interleave non-pyramid images with the
+        levels: IFD 0 is the tiled full-res image, IFD 1 a *stripped*
+        thumbnail, then tiled downsamples, then stripped label/macro images
+        (reference reads these via OpenSlide, ``main_server.py:54-55``).
+        Rule: when any page is tiled, the pyramid = tiled pages sorted by
+        area descending and the stripped pages become ``associated_images``;
+        otherwise (plain flat TIFFs) keep the leading non-growing run.
+        """
+        pages = list(self._r.pages)
+        tiled = [(i, p) for i, p in enumerate(pages) if p.tile_width > 0]
+        self._associated: dict = {}
+        if tiled:
+            tiled.sort(key=lambda ip: (-ip[1].width * ip[1].height, ip[0]))
+            self._page_index = [i for i, _ in tiled]
+            self._pages = [p for _, p in tiled]
+            for i, p in enumerate(pages):
+                if p.tile_width > 0:
+                    continue
+                desc = (getattr(p, "description", "") or "").lower()
+                name = ("label" if "label" in desc else
+                        "macro" if "macro" in desc else "thumbnail")
+                if name in self._associated:  # e.g. native path: no per-page
+                    name = f"{name}-{i}"      # descriptions to tell them apart
+                self._associated[name] = i
+        else:
+            keep = []
+            for i, p in enumerate(pages):
+                if keep and (p.width > keep[-1][1].width
+                             or p.height > keep[-1][1].height):
+                    break
+                keep.append((i, p))
+            self._page_index = [i for i, _ in keep]
+            self._pages = [p for _, p in keep]
 
     # -- metadata ---------------------------------------------------------
 
@@ -62,6 +105,22 @@ class Slide:
     def mpp(self) -> Optional[float]:
         v = self.properties.get("mpp")
         return float(v) if v is not None else None
+
+    @property
+    def bounds(self) -> Optional[Tuple[int, int, int, int]]:
+        """(x, y, w, h) non-empty bounds in level-0 px, or None.
+
+        TIFF/SVS record no bounds metadata; formats that do (e.g. MRXS)
+        would populate this — DeepZoomGenerator honors it for
+        ``limit_bounds`` (OpenSlide parity)."""
+        return None
+
+    @property
+    def associated_images(self) -> dict:
+        """name -> (h, w, 3) uint8 array of non-pyramid images (SVS
+        thumbnail / label / macro), decoded lazily."""
+        return {name: self._read_page_whole(i)
+                for name, i in self._associated.items()}
 
     def _parse_properties(self) -> dict:
         props = {}
@@ -106,6 +165,10 @@ class Slide:
         x = int(round(x0 / ds))
         y = int(round(y0 / ds))
         arr = self._r.read_region(self._page_index[level], x, y, int(w), int(h))
+        return self._to_rgb8(arr)
+
+    @staticmethod
+    def _to_rgb8(arr: np.ndarray) -> np.ndarray:
         if arr.dtype != np.uint8:
             arr = np.clip(arr, 0, 255).astype(np.uint8) if arr.dtype.kind == "f" else arr.astype(np.uint8)
         if arr.shape[2] == 1:
@@ -113,6 +176,11 @@ class Slide:
         elif arr.shape[2] > 3:
             arr = arr[:, :, :3]
         return arr
+
+    def _read_page_whole(self, page_idx: int) -> np.ndarray:
+        p = self._r.pages[page_idx]
+        return self._to_rgb8(
+            self._r.read_region(page_idx, 0, 0, p.width, p.height))
 
     def read_level(self, level: int) -> np.ndarray:
         w, h = self.level_dimensions[level]
@@ -138,16 +206,35 @@ class Slide:
 
     @staticmethod
     def detect_format(path: str) -> Optional[str]:
-        """Return a format name if ``path`` looks like a readable slide."""
+        """Return a format name if ``path`` is a readable slide, else None.
+
+        Mirrors ``OpenSlide.detect_format`` for the formats this stack can
+        actually open: ``"aperio"`` (SVS, incl. JPEG2000-compressed) and
+        ``"generic-tiff"``.  Hamamatsu NDPI is recognized (NDPI private tag
+        65420) but returns None — its stripped multi-GB JPEGs need a
+        dedicated reader — so the file browser never lists slides whose
+        tiles would then fail to serve.  MRXS is directory-based and fails
+        the TIFF magic check.
+        """
         try:
             if os.path.getsize(path) < 8:
                 return None
             with open(path, "rb") as f:
                 head = f.read(4)
-            if head[:2] in (b"II", b"MM") and head[2:4] in (
+            if not (head[:2] in (b"II", b"MM") and head[2:4] in (
                 b"\x2a\x00", b"\x00\x2a", b"\x2b\x00", b"\x00\x2b"
-            ):
+            )):
+                return None
+            from . import tiff_py
+
+            with tiff_py.TiffReader(path) as r:
+                if not r.pages:
+                    return None
+                p0 = r.pages[0]
+                if 65420 in p0.tag_ids:
+                    return None  # Hamamatsu NDPI: not readable by this stack
+                if (p0.description or "").startswith("Aperio"):
+                    return "aperio"
                 return "generic-tiff"
-        except OSError:
+        except (OSError, ValueError, struct.error):
             return None
-        return None

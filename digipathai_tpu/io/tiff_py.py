@@ -59,6 +59,8 @@ COMPRESSION_LZW = 5
 COMPRESSION_JPEG = 7
 COMPRESSION_DEFLATE_ADOBE = 8
 COMPRESSION_DEFLATE = 32946
+COMPRESSION_APERIO_J2K_YCBCR = 33003  # Aperio SVS: JPEG2000 codestream, YCbCr
+COMPRESSION_APERIO_J2K_RGB = 33005    # Aperio SVS: JPEG2000 codestream, RGB
 
 PHOTOMETRIC_MINISWHITE = 0
 PHOTOMETRIC_MINISBLACK = 1
@@ -171,6 +173,7 @@ class TiffPage:
     x_resolution: float = 0.0
     resolution_unit: int = 2  # 2=inch, 3=cm
     byte_order: str = "<"
+    tag_ids: frozenset = frozenset()  # all tag ids present in the IFD
 
     @property
     def is_tiled(self) -> bool:
@@ -323,6 +326,7 @@ class TiffReader:
             resolution_unit=int(one(TAG_RESOLUTION_UNIT, 2)),
             byte_order=self._bo,
         )
+        page.tag_ids = frozenset(tags)  # format sniffing (e.g. NDPI's 65420)
         return page, next_ifd
 
     def _read_tag_values(self, ftype: int, count: int, value_field: bytes):
@@ -364,6 +368,34 @@ class TiffReader:
                 arr = arr[:, :, None]
             # JPEG blocks may come back padded to MCU multiples; crop below.
             return arr[:block_h, :block_w, :page.samples if page.samples <= arr.shape[2] else arr.shape[2]]
+
+        if comp in (COMPRESSION_APERIO_J2K_YCBCR, COMPRESSION_APERIO_J2K_RGB):
+            # Aperio SVS JPEG2000: each tile is a raw J2K codestream
+            # (reference capability via OpenSlide at main_server.py:54-55).
+            from PIL import Image, features
+
+            if not features.check("jpg_2000"):
+                raise ValueError(
+                    "JPEG2000-compressed SVS needs Pillow with OpenJPEG "
+                    "support (feature 'jpg_2000' unavailable)")
+            img = Image.open(io.BytesIO(data))
+            arr = np.asarray(img.convert("RGB") if page.samples >= 3 else img)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            if comp == COMPRESSION_APERIO_J2K_YCBCR and arr.shape[2] == 3 \
+                    and img.mode == "RGB":
+                # 33003 codestreams usually carry no colorspace box: OpenJPEG
+                # hands back the raw YCbCr planes as if RGB. Undo with the
+                # full-range BT.601 transform (what OpenSlide does).
+                ycc = arr.astype(np.float32)
+                y, cb, cr = ycc[..., 0], ycc[..., 1] - 128, ycc[..., 2] - 128
+                arr = np.stack([
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ], axis=-1)
+                arr = np.clip(arr, 0, 255).astype(np.uint8)
+            return arr[:block_h, :block_w]
 
         if page.photometric == PHOTOMETRIC_PALETTE:
             raise ValueError(
@@ -473,12 +505,32 @@ def _encode_tile(tile: np.ndarray, compression: str, quality: int) -> bytes:
         buf = io.BytesIO()
         img.save(buf, "jpeg", quality=quality)
         return buf.getvalue()
+    if compression in ("j2k", "j2k-ycbcr"):
+        # Aperio-convention raw JPEG2000 codestreams (33005 RGB / 33003
+        # YCbCr).  The YCbCr flavor stores the transformed planes as raw
+        # components, matching what OpenJPEG returns for real 33003 tiles.
+        from PIL import Image
+
+        arr = tile if tile.ndim == 2 or tile.shape[2] > 1 else tile[:, :, 0]
+        if compression == "j2k-ycbcr" and arr.ndim == 3 and arr.shape[2] == 3:
+            rgb = arr.astype(np.float32)
+            r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+            arr = np.clip(np.stack([
+                0.299 * r + 0.587 * g + 0.114 * b,
+                128 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                128 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+            ], axis=-1), 0, 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG2000", no_jp2=True)  # lossless
+        return buf.getvalue()
     if compression == "raw":
         return np.ascontiguousarray(tile).tobytes()
     raise ValueError(f"unknown compression {compression!r}")
 
 
-_COMP_TAG = {"deflate": COMPRESSION_DEFLATE_ADOBE, "jpeg": COMPRESSION_JPEG, "raw": COMPRESSION_NONE}
+_COMP_TAG = {"deflate": COMPRESSION_DEFLATE_ADOBE, "jpeg": COMPRESSION_JPEG,
+             "raw": COMPRESSION_NONE, "j2k": COMPRESSION_APERIO_J2K_RGB,
+             "j2k-ycbcr": COMPRESSION_APERIO_J2K_YCBCR}
 
 
 class _IfdBuilder:

@@ -63,6 +63,7 @@ struct TileCache {
 struct Reader {
   std::string path;
   std::vector<LevelInfo> levels;
+  std::vector<std::string> level_descriptions;
   std::string description;
   float x_resolution = 0.0f;
   uint16_t resolution_unit = 2;  // 2=inch, 3=cm
@@ -124,10 +125,14 @@ void *dpai_open(const char *path) {
     TIFFGetFieldDefaulted(t, TIFFTAG_BITSPERSAMPLE, &li.bits);
     TIFFGetFieldDefaulted(t, TIFFTAG_COMPRESSION, &li.compression);
     TIFFGetFieldDefaulted(t, TIFFTAG_PHOTOMETRIC, &li.photometric);
-    if (r->levels.empty()) {
+    {
       char *desc = nullptr;
-      if (TIFFGetField(t, TIFFTAG_IMAGEDESCRIPTION, &desc) && desc)
-        r->description = desc;
+      r->level_descriptions.push_back(
+          (TIFFGetField(t, TIFFTAG_IMAGEDESCRIPTION, &desc) && desc)
+              ? std::string(desc) : std::string());
+    }
+    if (r->levels.empty()) {
+      r->description = r->level_descriptions[0];
       float xres = 0.0f;
       if (TIFFGetField(t, TIFFTAG_XRESOLUTION, &xres)) r->x_resolution = xres;
       TIFFGetFieldDefaulted(t, TIFFTAG_RESOLUTIONUNIT, &r->resolution_unit);
@@ -174,8 +179,30 @@ int dpai_level_info(void *h, int level, uint32_t *out) {
   return 0;
 }
 
+// out: w, h, tile_w, tile_h, samples, bits, compression, photometric
+int dpai_level_info2(void *h, int level, uint32_t *out) {
+  auto *r = static_cast<Reader *>(h);
+  if (level < 0 || level >= (int)r->levels.size()) return -1;
+  const LevelInfo &li = r->levels[level];
+  out[0] = li.width;
+  out[1] = li.height;
+  out[2] = li.tile_w;
+  out[3] = li.tile_h;
+  out[4] = li.samples;
+  out[5] = li.bits;
+  out[6] = li.compression;
+  out[7] = li.photometric;
+  return 0;
+}
+
 const char *dpai_description(void *h) {
   return static_cast<Reader *>(h)->description.c_str();
+}
+
+const char *dpai_level_description(void *h, int level) {
+  auto *r = static_cast<Reader *>(h);
+  if (level < 0 || level >= (int)r->level_descriptions.size()) return "";
+  return r->level_descriptions[level].c_str();
 }
 
 void dpai_resolution(void *h, float *xres, int *unit) {

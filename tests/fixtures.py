@@ -47,3 +47,110 @@ def make_synthetic_slide(path: str, width=2048, height=1536, seed=0,
         "image": img,
         "mpp": mpp,
     }
+
+
+def make_svs_like_slide(path: str, width=1536, height=1024, seed=0,
+                        compression="j2k", mpp=0.25, ndpi=False) -> dict:
+    """Write an Aperio-SVS-convention TIFF: tiled pyramid levels interleaved
+    with stripped associated images, Aperio description with MPP.
+
+    IFD order mirrors real SVS files: [L0 tiled, thumbnail stripped,
+    L1 tiled, label stripped, macro stripped].  ``compression`` selects the
+    tile codec: "j2k" (33005 RGB codestreams), "j2k-ycbcr" (33003), or
+    "jpeg".  ``ndpi=True`` instead stamps the Hamamatsu NDPI private tag
+    (65420) on a plain file, for detect_format exclusion tests.
+    """
+    import struct
+
+    from digipathai_tpu.io import tiff_py as T
+
+    img, tissue, lesion = render_he_like(width, height, seed)
+    levels = [img, img[::2, ::2].copy()]
+    thumb = img[::8, ::8].copy()
+    label = np.full((64, 96, 3), 30, np.uint8)
+    macro = np.full((48, 128, 3), 200, np.uint8)
+
+    f = open(path, "wb")
+    f.write(struct.pack("<2sHI", b"II", 42, 0))
+    builders = []
+
+    def emit_tiled(arr, desc=None, tile=256):
+        h, w = arr.shape[:2]
+        offsets, counts = [], []
+        for ty in range(0, h, tile):
+            for tx in range(0, w, tile):
+                block = np.zeros((tile, tile, 3), np.uint8)
+                sub = arr[ty:ty + tile, tx:tx + tile]
+                block[:sub.shape[0], :sub.shape[1]] = sub
+                data = T._encode_tile(block, compression, 90)
+                offsets.append(f.tell())
+                counts.append(len(data))
+                f.write(data)
+        b = T._IfdBuilder()
+        b.add(T.TAG_IMAGE_WIDTH, 4, w)
+        b.add(T.TAG_IMAGE_LENGTH, 4, h)
+        b.add(T.TAG_BITS_PER_SAMPLE, 3, [8, 8, 8])
+        b.add(T.TAG_COMPRESSION, 3, T._COMP_TAG[compression])
+        # PIL JPEG streams are YCbCr-coded; J2K codestreams carry RGB
+        b.add(T.TAG_PHOTOMETRIC, 3, T.PHOTOMETRIC_YCBCR
+              if compression == "jpeg" else T.PHOTOMETRIC_RGB)
+        b.add(T.TAG_SAMPLES_PER_PIXEL, 3, 3)
+        b.add(T.TAG_TILE_WIDTH, 3, tile)
+        b.add(T.TAG_TILE_LENGTH, 3, tile)
+        b.add(T.TAG_TILE_OFFSETS, 4, offsets)
+        b.add(T.TAG_TILE_BYTE_COUNTS, 4, counts)
+        if desc:
+            b.add(T.TAG_IMAGE_DESCRIPTION, 2, desc.encode() + b"\0")
+        if ndpi:
+            b.add(65420, 4, 1)  # NDPI private tag
+        builders.append(b)
+
+    def emit_stripped(arr, desc):
+        h, w = arr.shape[:2]
+        data = np.ascontiguousarray(arr).tobytes()
+        off = f.tell()
+        f.write(data)
+        b = T._IfdBuilder()
+        b.add(T.TAG_IMAGE_WIDTH, 4, w)
+        b.add(T.TAG_IMAGE_LENGTH, 4, h)
+        b.add(T.TAG_BITS_PER_SAMPLE, 3, [8, 8, 8])
+        b.add(T.TAG_COMPRESSION, 3, T.COMPRESSION_NONE)
+        b.add(T.TAG_PHOTOMETRIC, 3, T.PHOTOMETRIC_RGB)
+        b.add(T.TAG_SAMPLES_PER_PIXEL, 3, 3)
+        b.add(T.TAG_ROWS_PER_STRIP, 4, h)
+        b.add(T.TAG_STRIP_OFFSETS, 4, [off])
+        b.add(T.TAG_STRIP_BYTE_COUNTS, 4, [len(data)])
+        b.add(T.TAG_IMAGE_DESCRIPTION, 2, desc.encode() + b"\0")
+        builders.append(b)
+
+    aperio_desc = (
+        f"Aperio Image Library v12.0.15\r\n{width}x{height} "
+        f"[0,0 {width}x{height}] (256x256) -> fixture"
+        f"|AppMag = 20|StripeWidth = 992|MPP = {mpp}"
+    )
+    emit_tiled(levels[0], desc=aperio_desc)
+    emit_stripped(thumb, f"Aperio Image Library v12.0.15\r\n{width}x{height} -> "
+                         f"{thumb.shape[1]}x{thumb.shape[0]} - thumbnail")
+    emit_tiled(levels[1])
+    emit_stripped(label, "Aperio Image Library v12.0.15\r\nlabel "
+                         f"{label.shape[1]}x{label.shape[0]}")
+    emit_stripped(macro, "Aperio Image Library v12.0.15\r\nmacro "
+                         f"{macro.shape[1]}x{macro.shape[0]}")
+
+    prev_ptr_pos = 4
+    for b in builders:
+        if f.tell() % 2:
+            f.write(b"\0")
+        ifd_offset = f.tell()
+        next_ptr_pos = b.write(f)
+        end = f.tell()
+        f.seek(prev_ptr_pos)
+        f.write(struct.pack("<I", ifd_offset))
+        f.seek(end)
+        prev_ptr_pos = next_ptr_pos
+    f.close()
+    return {
+        "width": width, "height": height, "image": img, "mpp": mpp,
+        "tissue_mask": tissue, "lesion_mask": lesion,
+        "levels": levels, "thumb": thumb, "label": label, "macro": macro,
+    }
