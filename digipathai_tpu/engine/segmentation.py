@@ -423,12 +423,11 @@ def getSegmentation(img_path,
 
     # --- write artifacts -------------------------------------------------
     def write_u8_pyramid(path, mm):
-        """Native C++ writer when available (15x faster); python streaming
-        writer otherwise or for very large maps (the native path builds
-        downsample levels in RAM)."""
+        """Native C++ streaming writer when available (15x faster; row-block
+        cascade, so gigapixel maps stay out of RAM); python writer otherwise."""
         from ..io import backend as io_backend
 
-        if io_backend.use_native() and mm.size < (1 << 30):
+        if io_backend.use_native():
             from ..io import native as io_native
 
             io_native.write_pyramidal_tiff(str(path), mm, compression="jpeg",

@@ -61,6 +61,18 @@ def _load():
         lib.dpai_write_pyramid.restype = ctypes.c_int
         lib.dpai_set_cache_size.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
         lib.dpai_set_cache_size.restype = None
+        if hasattr(lib, "dpai_writer_open"):
+            lib.dpai_writer_open.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_double]
+            lib.dpai_writer_open.restype = ctypes.c_void_p
+            lib.dpai_writer_write_rows.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_uint32]
+            lib.dpai_writer_write_rows.restype = ctypes.c_int
+            lib.dpai_writer_close.argtypes = [ctypes.c_void_p]
+            lib.dpai_writer_close.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -164,21 +176,76 @@ class NativeTiffReader:
         self.close()
 
 
+class NativePyramidWriter:
+    """Streaming row-block pyramid writer (C++ cascade; O(strip) RAM).
+
+    Feed level-0 rows top-to-bottom via ``write_rows``; downsample levels
+    stream through per-level disk scratch so gigapixel maps never
+    materialize in memory (the role ImageMagick ``ptif:`` plays in the
+    reference, ``Segmentation.py:333-352``, minus the full-image buffering).
+    """
+
+    def __init__(self, path, width, height, channels=1, tile=256,
+                 compression="jpeg", quality=90, description="", mpp=None):
+        lib = _load()
+        if not hasattr(lib, "dpai_writer_open"):
+            raise NotImplementedError("native library predates the streaming "
+                                      "writer; rebuild digipathai_tpu/native")
+        self._lib = lib
+        self.width, self.channels = int(width), int(channels)
+        self._h = lib.dpai_writer_open(
+            str(path).encode(), int(width), int(height), int(channels),
+            int(tile), _COMP[compression], int(quality),
+            (description or "").encode(), float(mpp or 0.0))
+        if not self._h:
+            raise IOError(f"native writer open failed for {path}")
+
+    def write_rows(self, rows: np.ndarray):
+        rows = np.ascontiguousarray(rows, dtype=np.uint8)
+        if rows.ndim == 2:
+            rows = rows[:, :, None]
+        assert rows.shape[1] == self.width and rows.shape[2] == self.channels
+        rc = self._lib.dpai_writer_write_rows(
+            self._h, rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rows.shape[0])
+        if rc != 0:
+            raise IOError(f"native writer write_rows failed (rc={rc})")
+
+    def close(self):
+        if self._h:
+            rc = self._lib.dpai_writer_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise IOError(f"native writer close failed (rc={rc})")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.close()
+        elif self._h:  # error path: finalize best-effort, keep original error
+            try:
+                self._lib.dpai_writer_close(self._h)
+            finally:
+                self._h = None
+
+
 def write_pyramidal_tiff(path, array, tile=256, compression="jpeg",
                          quality=90, description="", mpp=None,
                          scratch_dir=None):
-    arr = np.ascontiguousarray(array)
-    if arr.dtype != np.uint8:
+    """Write (H, W[, C]) uint8 as a tiled pyramid, streamed in row blocks
+    (memmap-friendly: never copies the whole base level into RAM)."""
+    if array.dtype != np.uint8:
         raise NotImplementedError("native writer handles uint8 only")
-    h, w = arr.shape[:2]
-    channels = arr.shape[2] if arr.ndim == 3 else 1
+    h, w = array.shape[:2]
+    channels = array.shape[2] if array.ndim == 3 else 1
     if channels not in (1, 3):
         raise NotImplementedError(f"native writer: {channels} channels")
-    lib = _load()
-    rc = lib.dpai_write_pyramid(
-        str(path).encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        w, h, channels, tile, _COMP[compression], quality,
-        (description or "").encode(), float(mpp or 0.0))
-    if rc != 0:
-        raise IOError(f"native write_pyramid failed (rc={rc})")
+    block = max(tile, (64 << 20) // max(1, w * channels))  # ~64 MB blocks
+    with NativePyramidWriter(path, w, h, channels=channels, tile=tile,
+                             compression=compression, quality=quality,
+                             description=description, mpp=mpp) as wr:
+        for y0 in range(0, h, block):
+            wr.write_rows(array[y0:y0 + block])
     return path

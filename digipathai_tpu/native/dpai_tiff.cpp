@@ -11,6 +11,7 @@
 // handles out under a mutex and decode in parallel (ctypes releases the GIL).
 
 #include <tiffio.h>
+#include <unistd.h>
 
 #include <condition_variable>
 #include <cstdint>
@@ -309,6 +310,241 @@ int dpai_read_region(void *h, int level, int64_t x, int64_t y, uint32_t w,
 // ---------------------------------------------------------------------------
 // Pyramid writer: tiled multi-directory TIFF, 2x2 mean downsample chain.
 // compression: 1=none, 5=lzw, 7=jpeg, 8=deflate.
+// ---------------------------------------------------------------------------
+// Streaming pyramid writer: the caller feeds level-0 rows in blocks; tiles
+// are emitted per 256-row strip and the 2x2-mean downsample cascades into a
+// disk scratch file per level, so peak RAM is one strip (width x tile x C)
+// regardless of image size.  This is what lets >1 GP maps use the native
+// path (the in-RAM dpai_write_pyramid below keeps the whole level chain
+// resident).  Mirrors tiff_py.PyramidalTiffWriter's write_base streaming.
+
+namespace {
+
+struct StreamWriter {
+  TIFF *tif = nullptr;
+  std::string path, scratch_path;
+  uint64_t width = 0, height = 0;
+  int channels = 1, tile = 256, compression = 7, quality = 90;
+  std::vector<uint8_t> strip;   // (tile, width, C) rolling buffer
+  uint32_t filled = 0;          // valid rows in `strip`
+  uint64_t row = 0;             // next absolute level-0 row
+  FILE *scratch = nullptr;      // level-1 raw stream
+  bool failed = false;
+
+  size_t row_bytes() const { return (size_t)width * channels; }
+};
+
+void set_level_fields(TIFF *t, uint64_t w, uint64_t h, int channels, int tile,
+                      int compression, int quality, const char *description,
+                      double mpp, bool level0) {
+  TIFFSetField(t, TIFFTAG_IMAGEWIDTH, (uint32_t)w);
+  TIFFSetField(t, TIFFTAG_IMAGELENGTH, (uint32_t)h);
+  TIFFSetField(t, TIFFTAG_BITSPERSAMPLE, 8);
+  TIFFSetField(t, TIFFTAG_SAMPLESPERPIXEL, channels);
+  TIFFSetField(t, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+  TIFFSetField(t, TIFFTAG_TILEWIDTH, (uint32_t)tile);
+  TIFFSetField(t, TIFFTAG_TILELENGTH, (uint32_t)tile);
+  TIFFSetField(t, TIFFTAG_COMPRESSION, (uint16_t)compression);
+  if (compression == COMPRESSION_JPEG) {
+    TIFFSetField(t, TIFFTAG_JPEGQUALITY, quality);
+    TIFFSetField(t, TIFFTAG_PHOTOMETRIC,
+                 channels == 3 ? PHOTOMETRIC_YCBCR : PHOTOMETRIC_MINISBLACK);
+    if (channels == 3) TIFFSetField(t, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
+  } else {
+    TIFFSetField(t, TIFFTAG_PHOTOMETRIC,
+                 channels == 3 ? PHOTOMETRIC_RGB : PHOTOMETRIC_MINISBLACK);
+  }
+  if (level0) {
+    std::string desc = description ? description : "";
+    if (mpp > 0) {
+      if (!desc.empty()) desc += "|";
+      desc += "mpp=" + std::to_string(mpp);
+      TIFFSetField(t, TIFFTAG_RESOLUTIONUNIT, RESUNIT_CENTIMETER);
+      TIFFSetField(t, TIFFTAG_XRESOLUTION, (float)(10000.0 / mpp));
+      TIFFSetField(t, TIFFTAG_YRESOLUTION, (float)(10000.0 / mpp));
+    }
+    if (!desc.empty()) TIFFSetField(t, TIFFTAG_IMAGEDESCRIPTION, desc.c_str());
+  } else {
+    TIFFSetField(t, TIFFTAG_SUBFILETYPE, FILETYPE_REDUCEDIMAGE);
+  }
+}
+
+// Emit one strip (sw.filled rows starting at absolute row `y0`) as tiles.
+int emit_strip(TIFF *t, const uint8_t *strip, uint64_t w, uint32_t filled,
+               uint64_t y0, int channels, int tile, bool jpeg_pad,
+               std::vector<uint8_t> &tbuf) {
+  for (uint64_t tx = 0; tx < w; tx += tile) {
+    uint32_t bw = (uint32_t)std::min<uint64_t>(tile, w - tx);
+    std::memset(tbuf.data(), 0, tbuf.size());
+    for (uint32_t yy = 0; yy < filled; ++yy)
+      std::memcpy(tbuf.data() + (size_t)yy * tile * channels,
+                  strip + ((size_t)yy * w + tx) * channels,
+                  (size_t)bw * channels);
+    if (jpeg_pad) {  // replicate edges so JPEG padding doesn't bleed dark
+      for (uint32_t yy = 0; yy < filled; ++yy)
+        for (uint32_t xx = bw; xx < (uint32_t)tile; ++xx)
+          std::memcpy(tbuf.data() + ((size_t)yy * tile + xx) * channels,
+                      tbuf.data() + ((size_t)yy * tile + bw - 1) * channels,
+                      channels);
+      for (uint32_t yy = filled; yy < (uint32_t)tile; ++yy)
+        std::memcpy(tbuf.data() + (size_t)yy * tile * channels,
+                    tbuf.data() + (size_t)(filled - 1) * tile * channels,
+                    (size_t)tile * channels);
+    }
+    if (TIFFWriteTile(t, tbuf.data(), (uint32_t)tx, (uint32_t)y0, 0, 0) < 0)
+      return -3;
+  }
+  return 0;
+}
+
+// Downsample `filled` rows of width w into floor(filled/2) rows of width
+// max(1, w/2), appending to `out` (x-odd edge clamped).
+void downsample_strip(const uint8_t *strip, uint64_t w, uint32_t filled,
+                      int channels, FILE *out, std::vector<uint8_t> &rowbuf) {
+  uint64_t nw = std::max<uint64_t>(1, w / 2);
+  rowbuf.resize((size_t)nw * channels);
+  for (uint32_t yy = 0; yy + 1 < filled || (filled == 1 && yy == 0); yy += 2) {
+    const uint8_t *r0 = strip + (size_t)yy * w * channels;
+    const uint8_t *r1 = (yy + 1 < filled) ? r0 + (size_t)w * channels : r0;
+    for (uint64_t xx = 0; xx < nw; ++xx) {
+      uint64_t x1 = std::min<uint64_t>(2 * xx + 1, w - 1);
+      for (int c = 0; c < channels; ++c) {
+        uint32_t sum = r0[2 * xx * channels + c] + r0[x1 * channels + c] +
+                       r1[2 * xx * channels + c] + r1[x1 * channels + c];
+        rowbuf[(size_t)xx * channels + c] = (uint8_t)((sum + 2) / 4);
+      }
+    }
+    fwrite(rowbuf.data(), 1, rowbuf.size(), out);
+    if (filled == 1) break;
+  }
+}
+
+}  // namespace
+
+void *dpai_writer_open(const char *path, uint64_t width, uint64_t height,
+                       int channels, int tile, int compression, int quality,
+                       const char *description, double mpp) {
+  if (channels != 1 && channels != 3) return nullptr;
+  bool big = (width * height * (uint64_t)channels) > (2ull << 30);
+  TIFF *t = TIFFOpen(path, big ? "w8" : "w");
+  if (!t) return nullptr;
+  auto *sw = new StreamWriter();
+  sw->tif = t;
+  sw->path = path;
+  sw->scratch_path = std::string(path) + ".lvl.tmp";
+  sw->width = width;
+  sw->height = height;
+  sw->channels = channels;
+  sw->tile = tile;
+  sw->compression = compression;
+  sw->quality = quality;
+  sw->strip.resize((size_t)tile * width * channels);
+  sw->scratch = fopen(sw->scratch_path.c_str(), "wb");
+  if (!sw->scratch) {
+    TIFFClose(t);
+    delete sw;
+    return nullptr;
+  }
+  set_level_fields(t, width, height, channels, tile, compression, quality,
+                   description, mpp, true);
+  return sw;
+}
+
+int dpai_writer_write_rows(void *h, const uint8_t *rows, uint32_t n_rows) {
+  auto *sw = static_cast<StreamWriter *>(h);
+  if (sw->failed) return -1;
+  std::vector<uint8_t> tbuf((size_t)sw->tile * sw->tile * sw->channels);
+  std::vector<uint8_t> rowbuf;
+  while (n_rows > 0) {
+    uint32_t take = std::min<uint32_t>(n_rows, sw->tile - sw->filled);
+    std::memcpy(sw->strip.data() + (size_t)sw->filled * sw->row_bytes(),
+                rows, (size_t)take * sw->row_bytes());
+    rows += (size_t)take * sw->row_bytes();
+    sw->filled += take;
+    n_rows -= take;
+    if (sw->filled == (uint32_t)sw->tile) {
+      uint64_t y0 = sw->row;
+      int rc = emit_strip(sw->tif, sw->strip.data(), sw->width, sw->filled,
+                          y0, sw->channels, sw->tile,
+                          sw->compression == COMPRESSION_JPEG, tbuf);
+      if (rc != 0) {
+        sw->failed = true;
+        return rc;
+      }
+      downsample_strip(sw->strip.data(), sw->width, sw->filled, sw->channels,
+                       sw->scratch, rowbuf);
+      sw->row += sw->filled;
+      sw->filled = 0;
+    }
+  }
+  return 0;
+}
+
+int dpai_writer_close(void *h) {
+  auto *sw = static_cast<StreamWriter *>(h);
+  TIFF *t = sw->tif;
+  int rc = 0;
+  std::vector<uint8_t> tbuf((size_t)sw->tile * sw->tile * sw->channels);
+  std::vector<uint8_t> rowbuf;
+  if (!sw->failed && sw->filled > 0) {  // final partial strip
+    rc = emit_strip(t, sw->strip.data(), sw->width, sw->filled, sw->row,
+                    sw->channels, sw->tile,
+                    sw->compression == COMPRESSION_JPEG, tbuf);
+    if (rc == 0)
+      downsample_strip(sw->strip.data(), sw->width, sw->filled, sw->channels,
+                       sw->scratch, rowbuf);
+  }
+  fclose(sw->scratch);
+  sw->scratch = nullptr;
+  if (rc == 0 && !sw->failed && !TIFFWriteDirectory(t)) rc = -4;
+
+  // Remaining levels: stream each from the scratch raw file, emitting tiles
+  // and cascading the next scratch, with one strip of RAM per pass.
+  uint64_t w = std::max<uint64_t>(1, sw->width / 2);
+  uint64_t hh = std::max<uint64_t>(1, sw->height / 2);
+  std::string cur = sw->scratch_path;
+  bool more = rc == 0 && !sw->failed &&
+              std::max(sw->width, sw->height) > (uint64_t)sw->tile;
+  while (more) {
+    FILE *in = fopen(cur.c_str(), "rb");
+    if (!in) {
+      rc = -5;
+      break;
+    }
+    bool last = std::max(w, hh) <= (uint64_t)sw->tile;
+    std::string next_path = cur + "x";
+    FILE *next = last ? nullptr : fopen(next_path.c_str(), "wb");
+    set_level_fields(t, w, hh, sw->channels, sw->tile, sw->compression,
+                     sw->quality, nullptr, 0.0, false);
+    std::vector<uint8_t> strip((size_t)sw->tile * w * sw->channels);
+    for (uint64_t y0 = 0; y0 < hh && rc == 0; y0 += sw->tile) {
+      uint32_t sh = (uint32_t)std::min<uint64_t>(sw->tile, hh - y0);
+      if (fread(strip.data(), 1, (size_t)sh * w * sw->channels, in) !=
+          (size_t)sh * w * sw->channels) {
+        rc = -6;
+        break;
+      }
+      rc = emit_strip(t, strip.data(), w, sh, y0, sw->channels, sw->tile,
+                      sw->compression == COMPRESSION_JPEG, tbuf);
+      if (rc == 0 && next)
+        downsample_strip(strip.data(), w, sh, sw->channels, next, rowbuf);
+    }
+    fclose(in);
+    if (next) fclose(next);
+    unlink(cur.c_str());
+    cur = next_path;
+    if (rc == 0 && !TIFFWriteDirectory(t)) rc = -4;
+    if (last || rc != 0) break;
+    w = std::max<uint64_t>(1, w / 2);
+    hh = std::max<uint64_t>(1, hh / 2);
+  }
+  if (more && !cur.empty()) unlink(cur.c_str());
+  if (!more) unlink(sw->scratch_path.c_str());
+  TIFFClose(t);
+  delete sw;
+  return rc;
+}
+
 int dpai_write_pyramid(const char *path, const uint8_t *base, uint64_t width,
                        uint64_t height, int channels, int tile,
                        int compression, int quality, const char *description,
