@@ -107,27 +107,40 @@ def bench_tile(names, tta, patch):
     import jax.numpy as jnp
     import numpy as np
 
-    from digipathai_tpu.engine.tile_infer import build_tile_step
+    from digipathai_tpu.engine.tile_infer import build_model_tile_steps
     from digipathai_tpu.models.registry import build_model
 
-    tile = int(os.environ.get("DPAI_BENCH_TILE", 1024))
+    tile = int(os.environ.get("DPAI_BENCH_TILE", 4096))
     halo, stride = patch // 2, 128
-    bundles = [build_model(n, dtype=jnp.bfloat16) for n in names]
+    local_aspp = (tile + 2 * halo) % patch == 0 and \
+        os.environ.get("DPAI_BENCH_GLOBAL_ASPP") != "1"
+    bundles = [build_model(n, dtype=jnp.bfloat16,
+                           **({"aspp_pool_window": patch}
+                              if n == "deeplabv3" and local_aspp else {}))
+               for n in names]
     variables = tuple(b.init(tile + 2 * halo) for b in bundles)
-    step = build_tile_step(bundles, tta, tile, halo)
+    steps, combine, _ = build_model_tile_steps(bundles, tta, tile, halo)
     rng = np.random.default_rng(0)
     tile_u8 = jnp.asarray(
         rng.integers(0, 255, (tile + 2 * halo, tile + 2 * halo, 3), np.uint8))
 
+    def run():
+        sums, sqs = [], []
+        for step, v in zip(steps, variables):
+            s, q = step(v, tile_u8)
+            sums.append(s)
+            sqs.append(q)
+        return combine(sums, sqs)
+
     t0 = time.time()
-    mean, var = step(variables, tile_u8)
+    mean, var = run()
     _ = float(jax.device_get(jnp.mean(mean)))
     print(f"# tile compile+first {time.time() - t0:.1f}s", file=sys.stderr)
 
-    iters = 10
+    iters = int(os.environ.get("DPAI_BENCH_ITERS", 10))
     t0 = time.time()
     for _ in range(iters):
-        mean, var = step(variables, tile_u8)
+        mean, var = run()
     _ = float(jax.device_get(jnp.mean(mean)))
     dt = (time.time() - t0) / iters
     equiv_pps = (tile * tile) / (stride * stride) / dt

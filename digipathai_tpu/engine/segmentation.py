@@ -105,6 +105,7 @@ def getSegmentation(img_path,
                     data_parallel: bool | int = True,
                     resume: bool = False,
                     inference_mode: str = "patch",
+                    tile_local_aspp: bool = True,
                     mask_predictions: bool = False,
                     fold_bn: bool = False,
                     faithful_tta: bool = False,
@@ -246,6 +247,18 @@ def getSegmentation(img_path,
         if (supertile + patch_size) % 32 != 0:
             raise ValueError(
                 "tile mode needs (supertile + patch_size) divisible by 32")
+        if tile_local_aspp and supertile % patch_size == 0:
+            # DeepLab's ASPP image pooling is global over its input; over a
+            # big tile that changes the model's context semantics vs the
+            # reference's 256px patches. Rebuild it with patch-sized pooling
+            # windows (params are identical, only the static pooling extent
+            # changes) so tile mode stays patch-like. See PARITY.md.
+            bundles = [
+                build_model(b.name, dtype=compute_dtype,
+                            aspp_pool_window=patch_size)
+                if b.name == "deeplabv3" else b
+                for b in bundles
+            ]
         with maybe_profile("tile_segmentation"):
             run_tile_inference(
                 slide, plan, bundles, variables_tuple, tta_full,

@@ -63,6 +63,59 @@ def build_tile_step(bundles: Sequence, tta_list: Sequence[str],
         faithful_tta=faithful_tta))
 
 
+def build_model_tile_steps(bundles: Sequence, tta_list: Sequence[str],
+                           tile: int, halo: int,
+                           compute_dtype=jnp.bfloat16,
+                           faithful_tta: bool = False):
+    """Per-model jitted tile steps + a combine step (the big-tile path).
+
+    One XLA program per MODEL instead of one for the whole ensemble: peak
+    HBM holds a single network's activations, which is what lets tile 4096
+    fit (the fused 3-model program OOMs at ~24 GB there, while per-model
+    peaks are a few GB each).  Each step returns the f32 (sum, sum-of-
+    squares) of its TTA predictions over the tile interior; ``combine``
+    turns the accumulated sums into (mean, var) exactly as the fused step's
+    ``jnp.mean``/``jnp.var`` would (same f32 accumulation of [0,1] values).
+
+    Returns ``(steps, combine, n_preds)`` where each ``steps[i](variables,
+    tile_u8) -> (sum, sumsq)`` and ``combine(sums, sqs) -> (mean, var)``
+    with ``sums``/``sqs`` lists of per-model results.
+    """
+    chains = tta_ops.effective_transforms(tta_list, faithful=faithful_tta)
+
+    def make_step(bundle):
+        def step(variables, tile_u8):
+            x = normalize_patches(tile_u8[None], dtype=compute_dtype)
+            s = sq = None
+            for chain in chains:
+                xt = tta_ops.apply_chain(x, chain)
+                p = bundle.apply(variables, xt)
+                inv = chain[-1] if chain else tta_ops.DEFAULT
+                p = tta_ops.invert(p, inv)[0, ..., 1]
+                if halo:
+                    p = p[halo:-halo, halo:-halo]
+                p = p.astype(jnp.float32)
+                s = p if s is None else s + p
+                sq = p * p if sq is None else sq + p * p
+            return s, sq
+        return jax.jit(step)
+
+    n_preds = len(bundles) * len(chains)
+
+    @jax.jit
+    def combine(sums, sqs):
+        s = sums[0]
+        q = sqs[0]
+        for a, b in zip(sums[1:], sqs[1:]):
+            s = s + a
+            q = q + b
+        mean = s / n_preds
+        var = q / n_preds - mean * mean
+        return mean, jnp.maximum(var, 0.0)
+
+    return [make_step(b) for b in bundles], combine, n_preds
+
+
 def build_tile_step_sp(bundles: Sequence, tta_list: Sequence[str],
                        tile: int, halo: int, mesh,
                        compute_dtype=jnp.bfloat16,
@@ -111,9 +164,9 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
 
     X, Y = plan.slide_dims
     S = plan.supertile
-    step = build_tile_step(bundles, tta_full, S, halo,
-                           compute_dtype=compute_dtype,
-                           faithful_tta=faithful_tta)
+    steps, combine, _ = build_model_tile_steps(
+        bundles, tta_full, S, halo, compute_dtype=compute_dtype,
+        faithful_tta=faithful_tta)
     completed = completed if completed is not None else set()
     devices = jax.local_devices()[:max(1, n_devices)]  # one process per slide
     vars_on = {d: jax.device_put(variables_tuple, d) for d in devices}
@@ -181,7 +234,12 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
             ctx = timer.stage("infer") if timer else _null()
             with ctx:
                 tile_dev = jax.device_put(tile_xyc, dev)
-                mean, var = step(vars_on[dev], tile_dev)
+                sums, sqs = [], []
+                for step, mv in zip(steps, vars_on[dev]):
+                    s, q = step(mv, tile_dev)
+                    sums.append(s)
+                    sqs.append(q)
+                mean, var = combine(sums, sqs)
             pending.append(flusher.submit(flush, mean, var, gi, g))
             # backpressure: each pending result pins device+host buffers;
             # bound the in-flight depth to ~2 tiles per device

@@ -33,6 +33,15 @@ class DeepLabV3Plus(nn.Module):
     num_classes: int = 2
     output_stride: int = 16
     dtype: Any = jnp.bfloat16
+    # ASPP image-pooling context extent, in input pixels. 0 = global mean
+    # (the reference's semantics for its fixed 256px patches,
+    # ``reference deeplabv3.py:377-384``). For fully-convolutional tile
+    # inference, set to the reference patch size (256): the context vector
+    # is then pooled over patch-sized windows instead of the whole tile,
+    # keeping the ASPP context LOCAL like patch mode does (see
+    # engine/tile_infer.py and PARITY.md "tile mode" notes). Window size
+    # must divide the input size.
+    aspp_pool_window: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -144,11 +153,26 @@ class DeepLabV3Plus(nn.Module):
 
         # --- ASPP ---
         feat_h, feat_w = y.shape[1], y.shape[2]
-        b4 = jnp.mean(y, axis=(1, 2), keepdims=True)
+        if self.aspp_pool_window:
+            # patch-equivalent context: mean over window-sized blocks at the
+            # feature resolution, broadcast back within each block (the
+            # per-patch analog of the reference's global pool + resize)
+            fw = self.aspp_pool_window // self.output_stride
+            if feat_h % fw or feat_w % fw:
+                raise ValueError(
+                    f"aspp_pool_window {self.aspp_pool_window} must divide "
+                    f"the input size (features {feat_h}x{feat_w}, window {fw})")
+            b4 = nn.avg_pool(y, (fw, fw), strides=(fw, fw), padding="VALID")
+        else:
+            b4 = jnp.mean(y, axis=(1, 2), keepdims=True)
         b4 = conv(256, (1, 1), padding="SAME", name="image_pooling")(b4)
         b4 = bn(epsilon=1e-5, name="image_pooling_BN")(b4)
         b4 = nn.relu(b4)
-        b4 = resize_bilinear_align_corners(b4, (feat_h, feat_w))
+        if self.aspp_pool_window:
+            fw = self.aspp_pool_window // self.output_stride
+            b4 = jnp.repeat(jnp.repeat(b4, fw, axis=1), fw, axis=2)
+        else:
+            b4 = resize_bilinear_align_corners(b4, (feat_h, feat_w))
 
         b0 = conv(256, (1, 1), padding="SAME", name="aspp0")(y)
         b0 = bn(epsilon=1e-5, name="aspp0_BN")(b0)

@@ -103,3 +103,59 @@ class TestTileMode:
                             probs_path=str(tmp_path / "p.tiff"),
                             mask_path=str(tmp_path / "m.tiff"),
                             uncertainty_path=str(tmp_path / "u.tiff"))
+
+    def test_per_model_steps_match_fused(self, rng):
+        """build_model_tile_steps' sum/sumsq accumulation reproduces the
+        fused step's mean/var (the big-tile memory-fit path)."""
+        import jax.numpy as jnp
+
+        from digipathai_tpu.engine.tile_infer import (
+            build_model_tile_steps, build_tile_step)
+        from digipathai_tpu.models.registry import build_model
+
+        bundles = [build_model("tiny", dtype=jnp.float32),
+                   build_model("oracle", dtype=jnp.float32)]
+        vs = tuple(b.init(64) for b in bundles)
+        img = jnp.asarray(rng.integers(0, 255, (192, 192, 3)).astype(np.uint8))
+        tta = ["DEFAULT", "ROTATE_90"]
+
+        fused = build_tile_step(bundles, tta, 128, 32,
+                                compute_dtype=jnp.float32)
+        m0, v0 = fused(vs, img)
+
+        steps, combine, n = build_model_tile_steps(
+            bundles, tta, 128, 32, compute_dtype=jnp.float32)
+        assert n == 4
+        sums, sqs = zip(*[s(v, img) for s, v in zip(steps, vs)])
+        m1, v1 = combine(list(sums), list(sqs))
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-6)
+
+
+class TestLocalASPP:
+    def test_window_equals_global_at_patch_size(self, rng):
+        """aspp_pool_window == input size is numerically the reference's
+        global image pooling (one window; broadcast == 1x1 bilinear resize),
+        so patch-mode semantics are unchanged by the option."""
+        import jax.numpy as jnp
+
+        from digipathai_tpu.models.registry import build_model
+
+        g = build_model("deeplabv3", dtype=jnp.float32)
+        w = build_model("deeplabv3", dtype=jnp.float32,
+                        aspp_pool_window=64)
+        v = g.init(64)
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        pg = np.asarray(g.apply(v, x))
+        pw = np.asarray(w.apply(v, x))
+        np.testing.assert_allclose(pg, pw, atol=1e-5)
+
+    def test_window_must_divide(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from digipathai_tpu.models.registry import build_model
+
+        b = build_model("deeplabv3", dtype=jnp.float32, aspp_pool_window=48)
+        with pytest.raises(ValueError, match="divide"):
+            b.init(64)
