@@ -114,9 +114,16 @@ def bench_tile(names, tta, patch):
     halo, stride = patch // 2, 128
     local_aspp = (tile + 2 * halo) % patch == 0 and \
         os.environ.get("DPAI_BENCH_GLOBAL_ASPP") != "1"
-    bundles = [build_model(n, dtype=jnp.bfloat16,
-                           **({"aspp_pool_window": patch}
-                              if n == "deeplabv3" and local_aspp else {}))
+    s2d = os.environ.get("DPAI_BENCH_NO_S2D") != "1"
+
+    def model_kw(n):
+        if n == "deeplabv3" and local_aspp:
+            return {"aspp_pool_window": patch}
+        if n in ("dense", "inception") and s2d:
+            return {"s2d_decoder": True}
+        return {}
+
+    bundles = [build_model(n, dtype=jnp.bfloat16, **model_kw(n))
                for n in names]
     variables = tuple(b.init(tile + 2 * halo) for b in bundles)
     steps, combine, _ = build_model_tile_steps(bundles, tta, tile, halo)

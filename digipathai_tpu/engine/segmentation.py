@@ -106,6 +106,7 @@ def getSegmentation(img_path,
                     resume: bool = False,
                     inference_mode: str = "patch",
                     tile_local_aspp: bool = True,
+                    s2d_decoder: bool = True,
                     mask_predictions: bool = False,
                     fold_bn: bool = False,
                     faithful_tta: bool = False,
@@ -148,7 +149,11 @@ def getSegmentation(img_path,
         compute_dtype = jnp.bfloat16
     bundles, variables_list = [], []
     for name in model_names:
-        b = build_model(name, dtype=compute_dtype)
+        kw = {}
+        if s2d_decoder and name in ("dense", "inception"):
+            # exact execution rewrite, same params/outputs (s2d_decoder.py)
+            kw["s2d_decoder"] = True
+        b = build_model(name, dtype=compute_dtype, **kw)
         bundles.append(b)
         if name in _ENSEMBLE:
             v = weights_mod.load_variables(

@@ -38,6 +38,11 @@ class DenseNet121UNet(nn.Module):
     growth: int = 32
     blocks: tuple = (6, 12, 24, 16)
     dtype: Any = jnp.bfloat16
+    # Run the LAST s2d_stages decoder stages in the exact space-to-depth
+    # form (same parameters, same outputs, faster on TPU where channels are
+    # narrow — see models/s2d_decoder.py).
+    s2d_decoder: bool = False
+    s2d_stages: int = 2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -107,24 +112,47 @@ class DenseNet121UNet(nn.Module):
         conv5 = y  # note: no relu after 'bn', faithful to the reference
 
         # --- decoder (U-Net) ---
-        y = conv_block(upsample2x(conv5), 320)
-        y = jnp.concatenate([y, conv4.astype(y.dtype)], axis=-1)
-        y = conv_block(y, 320)
+        stages = [(320, conv4), (256, conv3), (128, conv2), (96, conv1),
+                  (64, None)]
+        n_s2d = min(self.s2d_stages, len(stages)) if self.s2d_decoder else 0
 
-        y = conv_block(upsample2x(y), 256)
-        y = jnp.concatenate([y, conv3.astype(y.dtype)], axis=-1)
-        y = conv_block(y, 256)
+        y = conv5
+        for feats, skip in stages[:len(stages) - n_s2d]:
+            y = conv_block(upsample2x(y), feats)
+            if skip is not None:
+                y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
+            y = conv_block(y, feats)
 
-        y = conv_block(upsample2x(y), 128)
-        y = jnp.concatenate([y, conv2.astype(y.dtype)], axis=-1)
-        y = conv_block(y, 128)
+        if n_s2d:
+            from .s2d_decoder import ConvParams, s2d_unet_decoder
 
-        y = conv_block(upsample2x(y), 96)
-        y = jnp.concatenate([y, conv1.astype(y.dtype)], axis=-1)
-        y = conv_block(y, 96)
+            def make_conv(cin, cout):
+                ci = dec_idx["conv"]
+                cname = "conv2d" if ci == 0 else f"conv2d_{ci}"
+                dec_idx["conv"] += 1
+                return ConvParams((3, 3, cin, cout), kernel_init=he,
+                                  name=cname)()
 
-        y = conv_block(upsample2x(y), 64)
-        y = conv_block(y, 64)
+            def make_bn(feats):
+                bi = dec_idx["bn"]
+                bname = ("batch_normalization" if bi == 0
+                         else f"batch_normalization_{bi}")
+                dec_idx["bn"] += 1
+                from .s2d_decoder import BNParams
+                return BNParams(feats, epsilon=BN_EPS_DECODER, name=bname)()
+
+            def make_head(cin):
+                ci = dec_idx["conv"]
+                return ConvParams(
+                    (1, 1, cin, self.num_classes),
+                    kernel_init=nn.initializers.lecun_normal(),
+                    name=f"conv2d_{ci}")()
+
+            tail = stages[len(stages) - n_s2d:]
+            return s2d_unet_decoder(
+                y, [s for _, s in tail if s is not None],
+                tuple(f for f, _ in tail), make_conv, make_bn, make_head,
+                self.num_classes, self.dtype)
 
         logits = conv(self.num_classes, (1, 1), name=f"conv2d_{dec_idx['conv']}")(y)
         return nn.softmax(logits.astype(jnp.float32), axis=-1)

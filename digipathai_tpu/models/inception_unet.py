@@ -29,6 +29,10 @@ BN_EPS = 1e-3
 class InceptionResNetV2UNet(nn.Module):
     num_classes: int = 2
     dtype: Any = jnp.bfloat16
+    # Exact space-to-depth form for the LAST s2d_stages decoder stages
+    # (same params/outputs, faster on TPU where channels are narrow)
+    s2d_decoder: bool = False
+    s2d_stages: int = 2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -155,24 +159,39 @@ class InceptionResNetV2UNet(nn.Module):
         conv5 = y
 
         # --- decoder (identical scheme to the DenseNet variant) ---
-        y = conv_block(upsample2x(conv5), 320)
-        y = jnp.concatenate([y, conv4.astype(y.dtype)], axis=-1)
-        y = conv_block(y, 320)
+        stages = [(320, conv4), (256, conv3), (128, conv2), (96, conv1),
+                  (64, None)]
+        n_s2d = min(self.s2d_stages, len(stages)) if self.s2d_decoder else 0
 
-        y = conv_block(upsample2x(y), 256)
-        y = jnp.concatenate([y, conv3.astype(y.dtype)], axis=-1)
-        y = conv_block(y, 256)
+        y = conv5
+        for feats, skip in stages[:len(stages) - n_s2d]:
+            y = conv_block(upsample2x(y), feats)
+            if skip is not None:
+                y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
+            y = conv_block(y, feats)
 
-        y = conv_block(upsample2x(y), 128)
-        y = jnp.concatenate([y, conv2.astype(y.dtype)], axis=-1)
-        y = conv_block(y, 128)
+        if n_s2d:
+            from .s2d_decoder import ConvParams, s2d_unet_decoder
 
-        y = conv_block(upsample2x(y), 96)
-        y = jnp.concatenate([y, conv1.astype(y.dtype)], axis=-1)
-        y = conv_block(y, 96)
+            def make_conv(cin, cout):
+                return ConvParams((3, 3, cin, cout), kernel_init=he,
+                                  name=namer.conv())()
 
-        y = conv_block(upsample2x(y), 64)
-        y = conv_block(y, 64)
+            def make_bn(feats):
+                from .s2d_decoder import BNParams
+                return BNParams(feats, epsilon=BN_EPS, name=namer.bn())()
+
+            def make_head(cin):
+                return ConvParams(
+                    (1, 1, cin, self.num_classes),
+                    kernel_init=nn.initializers.lecun_normal(),
+                    name=namer.conv())()
+
+            tail = stages[len(stages) - n_s2d:]
+            return s2d_unet_decoder(
+                y, [s for _, s in tail if s is not None],
+                tuple(f for f, _ in tail), make_conv, make_bn, make_head,
+                self.num_classes, self.dtype)
 
         logits = conv(self.num_classes, (1, 1), name=namer.conv())(y)
         return nn.softmax(logits.astype(jnp.float32), axis=-1)
