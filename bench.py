@@ -114,14 +114,18 @@ def bench_tile(names, tta, patch):
     halo, stride = patch // 2, 128
     local_aspp = (tile + 2 * halo) % patch == 0 and \
         os.environ.get("DPAI_BENCH_GLOBAL_ASPP") != "1"
-    s2d = os.environ.get("DPAI_BENCH_NO_S2D") != "1"
+    # s2d decoder measured as a net loss in-context (434 vs 463 eq-pps for
+    # dense@2048) despite standalone conv wins — opt-in for experiments
+    s2d = os.environ.get("DPAI_BENCH_S2D") == "1"
+    quant = os.environ.get("DPAI_BENCH_QUANT") == "1"
 
     def model_kw(n):
+        kw = {"quantized": True} if quant else {}
         if n == "deeplabv3" and local_aspp:
-            return {"aspp_pool_window": patch}
+            kw["aspp_pool_window"] = patch
         if n in ("dense", "inception") and s2d:
-            return {"s2d_decoder": True}
-        return {}
+            kw["s2d_decoder"] = True
+        return kw
 
     bundles = [build_model(n, dtype=jnp.bfloat16, **model_kw(n))
                for n in names]

@@ -106,7 +106,8 @@ def getSegmentation(img_path,
                     resume: bool = False,
                     inference_mode: str = "patch",
                     tile_local_aspp: bool = True,
-                    s2d_decoder: bool = True,
+                    s2d_decoder: bool = False,
+                    quantized: bool = False,
                     mask_predictions: bool = False,
                     fold_bn: bool = False,
                     faithful_tta: bool = False,
@@ -153,6 +154,10 @@ def getSegmentation(img_path,
         if s2d_decoder and name in ("dense", "inception"):
             # exact execution rewrite, same params/outputs (s2d_decoder.py)
             kw["s2d_decoder"] = True
+        if quantized:
+            # opt-in int8 inference for the wide convs (models/quant.py);
+            # measured probability-map deviation recorded in PARITY.md
+            kw["quantized"] = True
         b = build_model(name, dtype=compute_dtype, **kw)
         bundles.append(b)
         if name in _ENSEMBLE:

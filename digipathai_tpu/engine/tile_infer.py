@@ -86,15 +86,26 @@ def build_model_tile_steps(bundles: Sequence, tta_list: Sequence[str],
     def make_step(bundle):
         def step(variables, tile_u8):
             x = normalize_patches(tile_u8[None], dtype=compute_dtype)
-            s = sq = None
-            for chain in chains:
-                xt = tta_ops.apply_chain(x, chain)
-                p = bundle.apply(variables, xt)
-                inv = chain[-1] if chain else tta_ops.DEFAULT
-                p = tta_ops.invert(p, inv)[0, ..., 1]
+            # One forward per TTA chain, SERIALIZED via lax.scan so peak HBM
+            # holds a single forward's activations (unrolled chains let XLA
+            # interleave them, which is what OOMed tile 4096).  The halo
+            # crop is a center crop of a square tile, so it commutes with
+            # every dihedral TTA transform and can happen inside the body,
+            # before the (outside-of-scan, per-chain static) inversion.
+            xts = jnp.concatenate(
+                [tta_ops.apply_chain(x, c) for c in chains], axis=0)
+
+            def body(_, xt):
+                p = bundle.apply(variables, xt[None])[0, ..., 1]
                 if halo:
                     p = p[halo:-halo, halo:-halo]
-                p = p.astype(jnp.float32)
+                return 0, p.astype(jnp.float32)
+
+            _, preds = jax.lax.scan(body, 0, xts)
+            s = sq = None
+            for i, chain in enumerate(chains):
+                inv = chain[-1] if chain else tta_ops.DEFAULT
+                p = tta_ops.invert(preds[i][None, ..., None], inv)[0, ..., 0]
                 s = p if s is None else s + p
                 sq = p * p if sq is None else sq + p * p
             return s, sq

@@ -42,10 +42,15 @@ class DeepLabV3Plus(nn.Module):
     # engine/tile_infer.py and PARITY.md "tile mode" notes). Window size
     # must divide the input size.
     aspp_pool_window: int = 0
+    # int8 inference for the wide convs (opt-in, see models/quant.py)
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32,
+        from .quant import conv_ctor
+
+        conv = partial(conv_ctor(self.quantized and not train),
+                       dtype=self.dtype, param_dtype=jnp.float32,
                        use_bias=False)
         bn = partial(nn.BatchNorm, use_running_average=not train,
                      momentum=0.99, dtype=self.dtype, param_dtype=jnp.float32)

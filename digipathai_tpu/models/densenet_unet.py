@@ -43,10 +43,15 @@ class DenseNet121UNet(nn.Module):
     # narrow — see models/s2d_decoder.py).
     s2d_decoder: bool = False
     s2d_stages: int = 2
+    # int8 inference for the wide convs (opt-in, see models/quant.py)
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
+        from .quant import conv_ctor
+
+        conv = partial(conv_ctor(self.quantized and not train),
+                       dtype=self.dtype, param_dtype=jnp.float32)
         bn = partial(nn.BatchNorm, use_running_average=not train,
                      momentum=0.99, dtype=self.dtype, param_dtype=jnp.float32)
         he = nn.initializers.he_normal()
