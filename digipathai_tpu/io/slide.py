@@ -28,21 +28,61 @@ _J2K_COMPRESSIONS = (33003, 33005)  # Aperio SVS JPEG2000 flavors
 class Slide:
     def __init__(self, path: str):
         self.path = str(path)
-        self._r = open_tiff(self.path)
-        if not self._r.pages:
-            raise ValueError(f"{path}: no images in file")
-        self._select_pages()
-        # JPEG2000 SVS tiles need the Python reader (PIL/OpenJPEG); libtiff
-        # builds commonly lack the Aperio 33003/33005 codecs.
-        if any(getattr(p, "compression", 0) in _J2K_COMPRESSIONS
-               for p in self._pages):
-            from . import tiff_py
+        if self._sniff_ndpi(self.path):
+            # Hamamatsu NDPI: single-JPEG strips with restart-marker
+            # random access need the dedicated reader (io/ndpi.py); the
+            # native libtiff backend can't open these at all.
+            from .ndpi import NdpiReader
 
-            if not isinstance(self._r, tiff_py.TiffReader):
-                self._r.close()
-                self._r = tiff_py.TiffReader(self.path)
-                self._select_pages()
+            self._r = NdpiReader(self.path)
+            self._select_ndpi_pages()
+        else:
+            self._r = open_tiff(self.path)
+            if not self._r.pages:
+                raise ValueError(f"{path}: no images in file")
+            self._select_pages()
+            # JPEG2000 SVS tiles need the Python reader (PIL/OpenJPEG);
+            # libtiff builds commonly lack the Aperio 33003/33005 codecs.
+            if any(getattr(p, "compression", 0) in _J2K_COMPRESSIONS
+                   for p in self._pages):
+                from . import tiff_py
+
+                if not isinstance(self._r, tiff_py.TiffReader):
+                    self._r.close()
+                    self._r = tiff_py.TiffReader(self.path)
+                    self._select_pages()
         self.properties = self._parse_properties()
+
+    @staticmethod
+    def _sniff_ndpi(path: str) -> bool:
+        """Header-only NDPI check with the Python parser (the native
+        backend neither surfaces private tags nor reads NDPI strips)."""
+        from . import tiff_py
+
+        try:
+            with tiff_py.TiffReader(path) as r:
+                return bool(r.pages) and 65420 in r.pages[0].tag_ids
+        except (OSError, ValueError, struct.error):
+            return False
+
+    def _select_ndpi_pages(self):
+        """NDPI pyramid = IFDs with SourceLens > 0, area-descending; the
+        macro (-1) and map (-2) images become ``associated_images``."""
+        from .ndpi import NdpiReader
+
+        pages = list(self._r.pages)
+        levels, self._associated = [], {}
+        for i, p in enumerate(pages):
+            lens = NdpiReader.source_lens(p)
+            if lens is not None and lens > 0:
+                levels.append((i, p))
+            elif lens is not None:
+                self._associated["macro" if lens == -1 else "map"] = i
+        if not levels:  # defensive: treat all pages as levels
+            levels = list(enumerate(pages))
+        levels.sort(key=lambda ip: (-ip[1].width * ip[1].height, ip[0]))
+        self._page_index = [i for i, _ in levels]
+        self._pages = [p for _, p in levels]
 
     def _select_pages(self):
         """Pick the pyramid levels out of the file's IFD sequence.
@@ -148,6 +188,12 @@ class Slide:
                     else xres / 2.54
                 if per_cm > 0:
                     props["mpp"] = 10000.0 / per_cm
+        if getattr(self._pages[0], "ndpi", None):
+            from .ndpi import NdpiReader
+
+            lens = NdpiReader.source_lens(self._pages[0])
+            if lens and lens > 0:
+                props["openslide.objective-power"] = lens
         return props
 
     # -- pixels -----------------------------------------------------------
@@ -209,12 +255,10 @@ class Slide:
         """Return a format name if ``path`` is a readable slide, else None.
 
         Mirrors ``OpenSlide.detect_format`` for the formats this stack can
-        actually open: ``"aperio"`` (SVS, incl. JPEG2000-compressed) and
-        ``"generic-tiff"``.  Hamamatsu NDPI is recognized (NDPI private tag
-        65420) but returns None — its stripped multi-GB JPEGs need a
-        dedicated reader — so the file browser never lists slides whose
-        tiles would then fail to serve.  MRXS is directory-based and fails
-        the TIFF magic check.
+        actually open: ``"aperio"`` (SVS, incl. JPEG2000-compressed),
+        ``"hamamatsu"`` (NDPI via restart-marker surgery, ``io/ndpi.py``)
+        and ``"generic-tiff"``.  MRXS is directory-based and fails the
+        TIFF magic check.
         """
         try:
             if os.path.getsize(path) < 8:
@@ -232,7 +276,7 @@ class Slide:
                     return None
                 p0 = r.pages[0]
                 if 65420 in p0.tag_ids:
-                    return None  # Hamamatsu NDPI: not readable by this stack
+                    return "hamamatsu"  # NDPI (io/ndpi.py)
                 if (p0.description or "").startswith("Aperio"):
                     return "aperio"
                 return "generic-tiff"

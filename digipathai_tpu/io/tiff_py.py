@@ -56,6 +56,7 @@ TAG_JPEG_TABLES = 347
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
+COMPRESSION_OLD_JPEG = 6  # as used by Hamamatsu NDPI (full JFIF strips)
 COMPRESSION_JPEG = 7
 COMPRESSION_DEFLATE_ADOBE = 8
 COMPRESSION_DEFLATE = 32946
@@ -71,6 +72,10 @@ PHOTOMETRIC_YCBCR = 6
 SAMPLEFORMAT_UINT = 1
 SAMPLEFORMAT_INT = 2
 SAMPLEFORMAT_FLOAT = 3
+
+# Private tags whose value arrays can be huge (NDPI restart-marker offset
+# tables); parsed lazily via TiffReader.read_lazy_tag.
+_LAZY_TAGS = frozenset({65426, 65432, 65433})
 
 # field type -> (struct char, size)
 _TYPE_INFO = {
@@ -174,6 +179,8 @@ class TiffPage:
     resolution_unit: int = 2  # 2=inch, 3=cm
     byte_order: str = "<"
     tag_ids: frozenset = frozenset()  # all tag ids present in the IFD
+    lazy_tags: dict = field(default_factory=dict)  # tag -> (ftype, count, value_field)
+    ndpi: dict = field(default_factory=dict)       # NDPI private tag values
 
     @property
     def is_tiled(self) -> bool:
@@ -282,11 +289,18 @@ class TiffReader:
             entry_size, count_fmt, base = 12, "I", offset + 2
         raw = self._pread(base, n * entry_size)
         tags = {}
+        lazy = {}
         for i in range(n):
             e = raw[i * entry_size:(i + 1) * entry_size]
             tag, ftype = struct.unpack(bo + "HH", e[:4])
             count = struct.unpack(bo + count_fmt, e[4:4 + struct.calcsize(count_fmt)])[0]
             value_field = e[4 + struct.calcsize(count_fmt):]
+            if tag in _LAZY_TAGS:
+                # e.g. NDPI McuStarts (65426): one entry per restart segment
+                # — hundreds of MB on gigapixel levels. Defer to
+                # read_lazy_tag() so parsing/IFD scans stay O(header).
+                lazy[tag] = (ftype, count, bytes(value_field))
+                continue
             tags[tag] = self._read_tag_values(ftype, count, value_field)
         next_off_pos = base + n * entry_size
         if self._big:
@@ -326,8 +340,36 @@ class TiffReader:
             resolution_unit=int(one(TAG_RESOLUTION_UNIT, 2)),
             byte_order=self._bo,
         )
-        page.tag_ids = frozenset(tags)  # format sniffing (e.g. NDPI's 65420)
+        page.tag_ids = frozenset(tags) | frozenset(lazy)  # format sniffing
+        page.lazy_tags = lazy
+        # Hamamatsu NDPI private tags (io/ndpi.py): SourceLens (65421,
+        # magnification; -1 macro, -2 map) and the lens offsets.
+        page.ndpi = {t: tags[t] for t in (65420, 65421, 65422, 65423)
+                     if t in tags}
         return page, next_ifd
+
+    def read_lazy_tag(self, page: TiffPage, tag: int):
+        """Parse a deferred big-array tag (see ``_LAZY_TAGS``) into a numpy
+        array (these tables can hold millions of offsets), or None."""
+        spec = page.lazy_tags.get(tag)
+        if spec is None:
+            return None
+        ftype, count, value_field = spec
+        if ftype not in _TYPE_INFO:
+            return None
+        ch, size = _TYPE_INFO[ftype]
+        if len(ch) != 1:  # rationals etc. are never lazy
+            return np.asarray(self._read_tag_values(ftype, count, value_field))
+        total = size * count
+        inline_cap = 8 if self._big else 4
+        if total <= inline_cap:
+            data = value_field[:total]
+        else:
+            off_fmt = "Q" if self._big else "I"
+            off = struct.unpack(
+                self._bo + off_fmt, value_field[:struct.calcsize(off_fmt)])[0]
+            data = self._pread(off, total)
+        return np.frombuffer(data, dtype=np.dtype(self._bo + ch)).copy()
 
     def _read_tag_values(self, ftype: int, count: int, value_field: bytes):
         bo = self._bo

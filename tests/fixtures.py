@@ -154,3 +154,117 @@ def make_svs_like_slide(path: str, width=1536, height=1024, seed=0,
         "tissue_mask": tissue, "lesion_mask": lesion,
         "levels": levels, "thumb": thumb, "label": label, "macro": macro,
     }
+
+
+def make_ndpi_slide(path: str, width=1024, height=768, seed=0, mpp=0.46,
+                    restart_rows=1, subsampling=2, sof_lies=False) -> dict:
+    """Write a Hamamatsu-NDPI-convention file (see ``io/ndpi.py``).
+
+    Classic little-endian TIFF; each level is ONE strip holding a complete
+    JPEG stream with a restart marker every ``restart_rows`` MCU rows
+    (DRI), exactly how real scanners emit it.  IFDs carry the NDPI private
+    tags: 65420 (magic), 65421 SourceLens (40 / 10 / -1 macro), 65422/23
+    offsets.  ``sof_lies=True`` reproduces the >65535px quirk in miniature:
+    the JPEG SOF dimensions are overwritten with junk so only the TIFF tags
+    are right — the reader must patch SOF before decoding.
+    """
+    import io as _io
+    import struct
+
+    from PIL import Image
+
+    from digipathai_tpu.io import tiff_py as T
+
+    img, tissue, lesion = render_he_like(width, height, seed)
+    levels = [(img, 40.0), (img[::4, ::4].copy(), 10.0)]
+    macro = np.full((48, 128, 3), 210, np.uint8)
+
+    f = open(path, "wb")
+    f.write(struct.pack("<2sHI", b"II", 42, 0))
+    builders = []
+
+    def emit_jpeg_level(arr, lens):
+        h, w = arr.shape[:2]
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, "jpeg", quality=92,
+                                  subsampling=subsampling,
+                                  restart_marker_rows=restart_rows)
+        data = bytearray(buf.getvalue())
+        if sof_lies:
+            # clobber SOF dims (real NDPI stores dim % 65536 there)
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    break
+                m = data[pos + 1]
+                seglen = (data[pos + 2] << 8) | data[pos + 3]
+                if m in (0xC0, 0xC1, 0xC2):
+                    data[pos + 5:pos + 7] = struct.pack(">H", (h + 7) % 11)
+                    data[pos + 7:pos + 9] = struct.pack(">H", (w + 3) % 13)
+                    break
+                if m == 0xDA:
+                    break
+                pos += 2 + seglen
+        off = f.tell()
+        f.write(bytes(data))
+        b = T._IfdBuilder()
+        b.add(T.TAG_IMAGE_WIDTH, 4, w)
+        b.add(T.TAG_IMAGE_LENGTH, 4, h)
+        b.add(T.TAG_BITS_PER_SAMPLE, 3, [8, 8, 8])
+        b.add(T.TAG_COMPRESSION, 3, T.COMPRESSION_OLD_JPEG)
+        b.add(T.TAG_PHOTOMETRIC, 3, T.PHOTOMETRIC_YCBCR)
+        b.add(T.TAG_SAMPLES_PER_PIXEL, 3, 3)
+        b.add(T.TAG_ROWS_PER_STRIP, 4, h)
+        b.add(T.TAG_STRIP_OFFSETS, 4, [off])
+        b.add(T.TAG_STRIP_BYTE_COUNTS, 4, [len(data)])
+        # resolution in cm (NDPI convention) -> mpp fallback
+        per_cm = 10000.0 / mpp
+        b.add(T.TAG_X_RESOLUTION, 5, [(int(per_cm * 100), 100)])
+        b.add(283, 5, [(int(per_cm * 100), 100)])  # YResolution
+        b.add(296, 3, 3)  # ResolutionUnit = cm
+        b.add(65420, 4, 1)
+        b.add(65421, 11, lens)  # SourceLens (FLOAT)
+        b.add(65422, 4, 0)
+        b.add(65423, 4, 0)
+        builders.append(b)
+
+    def emit_macro(arr):
+        h, w = arr.shape[:2]
+        data = np.ascontiguousarray(arr).tobytes()
+        off = f.tell()
+        f.write(data)
+        b = T._IfdBuilder()
+        b.add(T.TAG_IMAGE_WIDTH, 4, w)
+        b.add(T.TAG_IMAGE_LENGTH, 4, h)
+        b.add(T.TAG_BITS_PER_SAMPLE, 3, [8, 8, 8])
+        b.add(T.TAG_COMPRESSION, 3, T.COMPRESSION_NONE)
+        b.add(T.TAG_PHOTOMETRIC, 3, T.PHOTOMETRIC_RGB)
+        b.add(T.TAG_SAMPLES_PER_PIXEL, 3, 3)
+        b.add(T.TAG_ROWS_PER_STRIP, 4, h)
+        b.add(T.TAG_STRIP_OFFSETS, 4, [off])
+        b.add(T.TAG_STRIP_BYTE_COUNTS, 4, [len(data)])
+        b.add(65420, 4, 1)
+        b.add(65421, 11, -1.0)
+        builders.append(b)
+
+    for arr, lens in levels:
+        emit_jpeg_level(arr, lens)
+    emit_macro(macro)
+
+    prev_ptr_pos = 4
+    for b in builders:
+        if f.tell() % 2:
+            f.write(b"\0")
+        ifd_offset = f.tell()
+        next_ptr_pos = b.write(f)
+        end = f.tell()
+        f.seek(prev_ptr_pos)
+        f.write(struct.pack("<I", ifd_offset))
+        f.seek(end)
+        prev_ptr_pos = next_ptr_pos
+    f.close()
+    return {
+        "width": width, "height": height, "image": img, "mpp": mpp,
+        "tissue_mask": tissue, "lesion_mask": lesion,
+        "levels": [a for a, _ in levels], "macro": macro,
+    }

@@ -85,12 +85,14 @@ class TestSvsRead:
             assert np.abs(tile.astype(int) - truth.astype(int)).mean() < 6
 
 
-def test_ndpi_is_recognized_and_excluded(tmp_path):
+def test_ndpi_tag_is_recognized_as_hamamatsu(tmp_path):
+    # real NDPI decode coverage lives in tests/test_ndpi.py; this only
+    # checks the format sniffer routes the private tag correctly
     from digipathai_tpu.io.slide import Slide
 
     p = str(tmp_path / "fake.ndpi")
     make_svs_like_slide(p, 512, 512, ndpi=True, compression="jpeg")
-    assert Slide.detect_format(p) is None
+    assert Slide.detect_format(p) == "hamamatsu"
 
 
 def test_generic_tiff_still_detected(tmp_path):
