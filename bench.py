@@ -1,15 +1,25 @@
 #!/usr/bin/env python
-"""Headline benchmark: ensemble x TTA patch throughput per chip.
+"""Headline benchmark: ensemble x TTA segmentation throughput per chip.
 
-Measures the engine's hot path — the jitted step from
-``digipathai_tpu.engine.infer.build_step``: device-side uint8 normalize,
-full 3-model ensemble (DenseNet121-UNet + InceptionResNetV2-UNet +
-DeepLabv3+) x 5 TTA variants (DEFAULT + flip + 3 rotations) forward in
-bfloat16, inverse TTA, mean/var reduction and the on-device supertile
-scatter-add. This is BASELINE.json config 4 minus CRF (CRF is flag-gated
-off in the reference too, ``reference Segmentation.py:327-331``).
+DEFAULT (DPAI_BENCH_MODE unset or "tile"): the engine's fully-convolutional
+tile path (``engine/tile_infer.build_model_tile_steps`` at tile 4096) — the
+production fast path whose patch-mode deltas are quantified in PARITY.md /
+``tools/tile_parity_probe.py``. Full 3-model ensemble (DenseNet121-UNet +
+InceptionResNetV2-UNet + DeepLabv3+, patch-local ASPP) x 5 TTA variants in
+bfloat16. The metric is stride-128 patch EQUIVALENTS/s/chip (each stride-128
+patch contributes 128^2 fresh pixels), directly comparable to patch mode and
+to the north-star target.
 
-Metric: input patches/sec/chip (each patch costs 15 forward passes).
+DPAI_BENCH_MODE=patch: the reference-parity path — the jitted step from
+``engine/infer.build_step`` (device-side uint8 normalize, ensemble x TTA
+forwards, inverse TTA, mean/var, on-device supertile scatter-add), i.e. the
+workload of ``reference Segmentation.py:136-177`` with its 4x stride-128
+overlap recompute. BASELINE.json config 4 minus CRF (CRF is flag-gated off
+in the reference too, ``reference Segmentation.py:327-331``).
+
+DPAI_BENCH_MODE=e2e: whole pipeline incl. host I/O and artifact pyramids.
+DPAI_BENCH_QUANT=1: opt-in int8 path (models/quant.py).
+
 vs_baseline: ratio to the v5e-8 north-star requirement of 312
 patches/sec/chip, derived from BASELINE.json's <60 s CAMELYON16 target:
 a representative slide has ~150k tissue patches at stride 128
@@ -43,15 +53,15 @@ def main():
     tta = ["DEFAULT", "FLIP_LEFT_RIGHT", "ROTATE_90", "ROTATE_180", "ROTATE_270"]
     names = ["dense", "inception", "deeplabv3"]
     quick = os.environ.get("DPAI_BENCH_QUICK") == "1"
-    tile_mode = os.environ.get("DPAI_BENCH_MODE") == "tile"
+    mode = os.environ.get("DPAI_BENCH_MODE", "tile")
     if quick:
         names, tta = ["dense"], ["DEFAULT"]
     if os.environ.get("DPAI_BENCH_MODELS"):
         names = os.environ["DPAI_BENCH_MODELS"].split(",")
 
-    if tile_mode:
+    if mode == "tile" and not quick:
         return bench_tile(names, tta, patch)
-    if os.environ.get("DPAI_BENCH_MODE") == "e2e":
+    if mode == "e2e":
         return bench_e2e(names, tta)
 
     t0 = time.time()
