@@ -128,13 +128,17 @@ def bench_tile(names, tta, patch):
     # dense@2048) despite standalone conv wins — opt-in for experiments
     s2d = os.environ.get("DPAI_BENCH_S2D") == "1"
     quant = os.environ.get("DPAI_BENCH_QUANT") == "1"
+    wpack = os.environ.get("DPAI_BENCH_WPACK") == "1"
 
     def model_kw(n):
         kw = {"quantized": True} if quant else {}
         if n == "deeplabv3" and local_aspp:
             kw["aspp_pool_window"] = patch
-        if n in ("dense", "inception") and s2d:
-            kw["s2d_decoder"] = True
+        if n in ("dense", "inception"):
+            if s2d:
+                kw["s2d_decoder"] = True
+            if wpack:
+                kw["wpack"] = True
         return kw
 
     bundles = [build_model(n, dtype=jnp.bfloat16, **model_kw(n))

@@ -107,6 +107,7 @@ def getSegmentation(img_path,
                     inference_mode: str = "patch",
                     tile_local_aspp: bool = True,
                     s2d_decoder: bool = False,
+                    wpack: bool = False,
                     quantized: bool = False,
                     mask_predictions: bool = False,
                     fold_bn: bool = False,
@@ -154,6 +155,10 @@ def getSegmentation(img_path,
         if s2d_decoder and name in ("dense", "inception"):
             # exact execution rewrite, same params/outputs (s2d_decoder.py)
             kw["s2d_decoder"] = True
+        if wpack and not s2d_decoder and name in ("dense", "inception"):
+            # exact width-packed decoder convs (ops/wpack.py) — opt-in:
+            # measured net-slower on v5e (see BASELINE.md), exact outputs
+            kw["wpack"] = True
         if quantized:
             # opt-in int8 inference for the wide convs (models/quant.py);
             # measured probability-map deviation recorded in PARITY.md

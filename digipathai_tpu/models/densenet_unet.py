@@ -45,6 +45,8 @@ class DenseNet121UNet(nn.Module):
     s2d_stages: int = 2
     # int8 inference for the wide convs (opt-in, see models/quant.py)
     quantized: bool = False
+    # exact width-packed decoder convs (opt-in, see ops/wpack.py)
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -88,7 +90,22 @@ class DenseNet121UNet(nn.Module):
             bname = "batch_normalization" if bi == 0 else f"batch_normalization_{bi}"
             dec_idx["conv"] += 1
             dec_idx["bn"] += 1
-            y = conv(features, (3, 3), padding="SAME", kernel_init=he, name=cname)(x)
+            from ..ops.wpack import pick_packing, wpack_conv
+
+            p = pick_packing(x.shape[2], x.shape[-1], features,
+                             enabled=self.wpack)
+            if p:
+                # exact width-packed execution of the same conv: identical
+                # params ('kernel'/'bias' via the byte-compatible container)
+                from .s2d_decoder import ConvParams
+
+                k, cb = ConvParams((3, 3, x.shape[-1], features),
+                                   kernel_init=he, name=cname)()
+                y = wpack_conv(x.astype(self.dtype), k, p,
+                               dtype=self.dtype) + cb.astype(self.dtype)
+            else:
+                y = conv(features, (3, 3), padding="SAME", kernel_init=he,
+                         name=cname)(x)
             y = bn(epsilon=BN_EPS_DECODER, name=bname)(y)
             return nn.relu(y)
 

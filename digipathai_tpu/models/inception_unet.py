@@ -35,6 +35,8 @@ class InceptionResNetV2UNet(nn.Module):
     s2d_stages: int = 2
     # int8 inference for the wide convs (opt-in, see models/quant.py)
     quantized: bool = False
+    # exact width-packed decoder convs (opt-in, see ops/wpack.py)
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -95,8 +97,23 @@ class InceptionResNetV2UNet(nn.Module):
         def conv_block(x, features):
             # decoder block (reference inception.py:36-47): conv 3x3 same
             # (bias, he_normal) + full BN + relu; unnamed in Keras
-            y = conv(features, (3, 3), padding="SAME", kernel_init=he,
-                     name=namer.conv())(x)
+            from ..ops.wpack import pick_packing, wpack_conv
+
+            cname = namer.conv()
+            p = pick_packing(x.shape[2], x.shape[-1], features,
+                             enabled=self.wpack)
+            if p:
+                # exact width-packed execution of the same conv (see
+                # ops/wpack.py); params via the byte-compatible container
+                from .s2d_decoder import ConvParams
+
+                k, cb = ConvParams((3, 3, x.shape[-1], features),
+                                   kernel_init=he, name=cname)()
+                y = wpack_conv(x.astype(self.dtype), k, p,
+                               dtype=self.dtype) + cb.astype(self.dtype)
+            else:
+                y = conv(features, (3, 3), padding="SAME", kernel_init=he,
+                         name=cname)(x)
             y = bn(name=namer.bn())(y)
             return nn.relu(y)
 

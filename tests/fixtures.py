@@ -156,8 +156,20 @@ def make_svs_like_slide(path: str, width=1536, height=1024, seed=0,
     }
 
 
+def _entropy_start(data: bytes) -> int:
+    """Byte offset where a JPEG stream's entropy data begins (after SOS)."""
+    pos = 2
+    while pos + 4 <= len(data):
+        seglen = (data[pos + 2] << 8) | data[pos + 3]
+        if data[pos + 1] == 0xDA:
+            return pos + 2 + seglen
+        pos += 2 + seglen
+    raise ValueError("no SOS in JPEG stream")
+
+
 def make_ndpi_slide(path: str, width=1024, height=768, seed=0, mpp=0.46,
-                    restart_rows=1, subsampling=2, sof_lies=False) -> dict:
+                    restart_rows=1, subsampling=2, sof_lies=False,
+                    mcu_starts=False) -> dict:
     """Write a Hamamatsu-NDPI-convention file (see ``io/ndpi.py``).
 
     Classic little-endian TIFF; each level is ONE strip holding a complete
@@ -226,6 +238,14 @@ def make_ndpi_slide(path: str, width=1024, height=768, seed=0, mpp=0.46,
         b.add(65421, 11, lens)  # SourceLens (FLOAT)
         b.add(65422, 4, 0)
         b.add(65423, 4, 0)
+        if mcu_starts:
+            # McuStarts (65426): offsets of each restart segment's first
+            # byte within the stream (segment k>0 starts 2 bytes after its
+            # RST marker) — the NDPI fast path io/ndpi.py validates+uses
+            rsts = [i for i in range(len(data) - 1)
+                    if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7]
+            segs = [_entropy_start(bytes(data))] + [r + 2 for r in rsts]
+            b.add(65426, 4, segs)
         builders.append(b)
 
     def emit_macro(arr):

@@ -116,6 +116,29 @@ class TestSurgery:
         assert diff.mean() < 7.0
 
 
+class TestMcuStartsFastPath:
+    def test_mcu_starts_tag_used_and_exact(self, tmp_path, monkeypatch):
+        """With tag 65426 present the reader must skip the entropy scan and
+        still produce surgery reads identical to the whole decode."""
+        from digipathai_tpu.io import ndpi as M
+
+        path = str(tmp_path / "mcu.ndpi")
+        make_ndpi_slide(path, 768, 512, seed=8, subsampling=0,
+                        mcu_starts=True)
+        with Slide(path) as s:
+            truth = s.read_level(0)
+        monkeypatch.setattr(M, "_FULL_DECODE_PX", 0)
+        scan_called = []
+        orig = M.NdpiReader._scan_rsts
+        monkeypatch.setattr(M.NdpiReader, "_scan_rsts",
+                            lambda self, info: scan_called.append(1)
+                            or orig(self, info))
+        with Slide(path) as s:
+            got = s.read_region((96, 64), 0, (256, 200))
+        np.testing.assert_array_equal(got, truth[64:264, 96:352])
+        assert not scan_called, "McuStarts fast path was not taken"
+
+
 class TestSofPatch:
     def test_sof_lies_decodes_by_tiff_dims(self, tmp_path):
         path = str(tmp_path / "lies.ndpi")
