@@ -1,0 +1,119 @@
+"""Fused 3x3 conv + bias + BN-affine + relu Pallas kernel (decoder stages).
+
+Why: XLA's TPU conv lowering runs the U-Net decoders' narrow full-resolution
+convs at ~8-14% of bf16 peak (``tools/mxu_probe.py``), and every XLA-level
+restructuring we measured (s2d, int8, width-packing — see BASELINE.md) loses
+its win to layout taxes. This kernel keeps the canonical NHWC HBM layout and
+rebuilds the conv inside VMEM:
+
+- each grid cell DMAs a TILE-ALIGNED input strip (16-row / 128-lane
+  granularity — unaligned DMA shapes hit Mosaic slow paths) covering its
+  (R, WC) output block plus the 3x3 halo,
+- the 9 taps become 9 accumulated MXU dots ``(R*WC, C) @ (C, F)``; the
+  row-slice per dy is a free leading-dim offset and the (R, WC, C) ->
+  (R*WC, C) reshape is a free leading-dim merge, so there is no im2col
+  materialization and no lane repacking,
+- bias/BN-affine/relu fuse into the f32 epilogue on the VPU; bf16 store.
+
+The kernel computes ``relu((conv(x, k) + bias) * mul + add)`` — pass
+``mul=None/add=None`` for a plain conv+bias, ``relu=False`` to disable.
+Numerics match the canonical conv up to bf16 rounding (f32 accumulation both
+here and in XLA's conv); parity is pinned in ``tests/test_conv_fused.py``.
+
+Reference ops being replaced: the decoder ``Conv2D 3x3 same + BN + ReLU``
+blocks (``reference DigiPathAI/models/densenet.py:37-48``,
+``inception.py:36-47``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PADR = 16   # row-halo allocation, bf16 sublane tile
+_PADW = 128  # col-halo allocation, lane tile
+
+
+def _kernel(x_hbm, kp_ref, aff_ref, out_ref, strip, sem, *, R, WC, C, F,
+            relu):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * R, R + _PADR), pl.ds(j * WC, WC + _PADW)],
+        strip, sem)
+    dma.start()
+    dma.wait()
+    y = None
+    for dx in range(3):
+        # one sublane-shift copy per dx, reused across the three dy taps
+        # (the dy offsets are free leading-dim views of this copy)
+        sh = strip[0:R + 2, dx:dx + WC, :]
+        for dy in range(3):
+            a = sh[dy:dy + R].reshape(R * WC, C)
+            d = jnp.dot(a, kp_ref[3 * dy + dx],
+                        preferred_element_type=jnp.float32)
+            y = d if y is None else y + d
+    y = y * aff_ref[0] + aff_ref[1]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[:] = y.reshape(R, WC, F).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "block_rows",
+                                             "block_cols", "interpret"))
+def fused_conv3x3(x, k, bias=None, mul=None, add=None, *, relu=True,
+                  block_rows: int = 16, block_cols: int = 512,
+                  interpret: bool = False):
+    """``relu((conv3x3_same(x, k) + bias) * mul + add)`` via Pallas.
+
+    x: (N, H, W, C) bf16/f32; k: (3, 3, C, F) f32; bias/mul/add: (F,) f32
+    or None. Returns (N, H, W, F) in x.dtype. N must be 1 (the engine's
+    tile path); vmap for batches.
+    """
+    n, h, w, c = x.shape
+    f = k.shape[-1]
+    assert n == 1, "fused_conv3x3 expects a single supertile (N=1)"
+    R, WC = block_rows, block_cols
+    hp = -(-h // R) * R
+    wp = -(-w // WC) * WC
+
+    # 1-px SAME halo at top/left; bottom/right padded out to the aligned
+    # strip allocation (rows i*R .. i*R+R+_PADR must stay in bounds).
+    # Channels pad to a 128-lane multiple: Mosaic requires DMA slices to be
+    # lane-tile aligned, and the zero kernel rows keep the result exact.
+    cp = -(-c // 128) * 128
+    xp = jnp.pad(x[0], ((1, hp + _PADR - h - 1), (1, wp + _PADW - w - 1),
+                        (0, cp - c)))
+    kp = jnp.pad(k.astype(x.dtype), ((0, 0), (0, 0), (0, cp - c), (0, 0)))
+    kp = kp.reshape(3 * 3, cp, f)
+    mul_ = jnp.ones((f,), jnp.float32) if mul is None else mul
+    off = jnp.zeros((f,), jnp.float32) if add is None else add
+    if bias is not None:
+        off = off + bias * mul_
+    aff = jnp.stack([mul_, off]).astype(jnp.float32)  # (2, F)
+
+    grid = (hp // R, wp // WC)
+    out = pl.pallas_call(
+        functools.partial(_kernel, R=R, WC=WC, C=cp, F=f, relu=relu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, cp, f), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, f), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, WC, f), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp, f), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + _PADR, WC + _PADW, cp), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, kp, aff)
+    return out[None, :h, :w, :]

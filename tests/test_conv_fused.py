@@ -1,0 +1,50 @@
+"""Fused conv3x3 Pallas kernel (ops/pallas/conv_fused.py) vs lax conv.
+
+Runs in Pallas interpreter mode on CPU (tests force JAX_PLATFORMS=cpu);
+the real-TPU rate is measured by tools/conv_fused_probe.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax.lax as lax
+import jax.numpy as jnp
+
+
+def canonical(x, k, bias, mul, add, relu=True):
+    y = lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = (y + bias) * mul + add
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+@pytest.mark.parametrize("shape", [(12, 24, 5, 7), (8, 512, 64, 64)])
+def test_fused_conv_matches_lax(shape):
+    from digipathai_tpu.ops.pallas.conv_fused import fused_conv3x3
+
+    h, w, c, f = shape
+    rng = np.random.default_rng(h + c)
+    x = jnp.asarray(rng.normal(0, 1, (1, h, w, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.2, (3, 3, c, f)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.1, (f,)), jnp.float32)
+    mul = jnp.asarray(rng.uniform(0.5, 1.5, (f,)), jnp.float32)
+    add = jnp.asarray(rng.normal(0, 0.1, (f,)), jnp.float32)
+    ref = np.asarray(canonical(x, k, bias, mul, add))
+    got = np.asarray(fused_conv3x3(x, k, bias, mul, add,
+                                   block_rows=4, block_cols=128,
+                                   interpret=True))
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-4, atol=2e-4)
+
+
+def test_fused_conv_no_relu_no_affine():
+    from digipathai_tpu.ops.pallas.conv_fused import fused_conv3x3
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 16, 3)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.3, (3, 3, 3, 4)), jnp.float32)
+    ref = np.asarray(canonical(x, k, jnp.zeros(4), jnp.ones(4),
+                               jnp.zeros(4), relu=False))
+    got = np.asarray(fused_conv3x3(x, k, relu=False, block_rows=4,
+                                   block_cols=16, interpret=True))
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-4, atol=2e-4)
