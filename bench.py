@@ -129,6 +129,7 @@ def bench_tile(names, tta, patch):
     s2d = os.environ.get("DPAI_BENCH_S2D") == "1"
     quant = os.environ.get("DPAI_BENCH_QUANT") == "1"
     wpack = os.environ.get("DPAI_BENCH_WPACK") == "1"
+    fused = os.environ.get("DPAI_BENCH_FUSED") == "1"
 
     def model_kw(n):
         kw = {"quantized": True} if quant else {}
@@ -139,6 +140,8 @@ def bench_tile(names, tta, patch):
                 kw["s2d_decoder"] = True
             if wpack:
                 kw["wpack"] = True
+            if fused:
+                kw["fused_decoder"] = True
         return kw
 
     bundles = [build_model(n, dtype=jnp.bfloat16, **model_kw(n))

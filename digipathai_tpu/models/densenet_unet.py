@@ -47,6 +47,8 @@ class DenseNet121UNet(nn.Module):
     quantized: bool = False
     # exact width-packed decoder convs (opt-in, see ops/wpack.py)
     wpack: bool = False
+    # Pallas fused decoder convs (opt-in, inference only; conv_fused.py)
+    fused_decoder: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -91,6 +93,19 @@ class DenseNet121UNet(nn.Module):
             dec_idx["conv"] += 1
             dec_idx["bn"] += 1
             from ..ops.wpack import pick_packing, wpack_conv
+
+            if (self.fused_decoder and not train and x.shape[0] == 1
+                    and x.shape[-1] <= 128 and features <= 128):
+                # Pallas fused conv+bias+BN-affine+relu (exact, inference
+                # only — BN folds to an affine; ops/pallas/conv_fused.py)
+                from ..ops.pallas.conv_fused import fused_conv3x3
+                from .s2d_decoder import BNParams, ConvParams
+
+                k, cb = ConvParams((3, 3, x.shape[-1], features),
+                                   kernel_init=he, name=cname)()
+                mul, add = BNParams(features, epsilon=BN_EPS_DECODER,
+                                    name=bname)()
+                return fused_conv3x3(x.astype(self.dtype), k, cb, mul, add)
 
             p = pick_packing(x.shape[2], x.shape[-1], features,
                              enabled=self.wpack)

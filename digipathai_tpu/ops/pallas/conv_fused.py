@@ -87,14 +87,17 @@ def _kernel(x_hbm, kp_ref, aff_ref, out_ref, strips, sems, *, R, WC, C, F,
 @functools.partial(jax.jit, static_argnames=("relu", "block_rows",
                                              "block_cols", "interpret"))
 def fused_conv3x3(x, k, bias=None, mul=None, add=None, *, relu=True,
-                  block_rows: int = 16, block_cols: int = 512,
-                  interpret: bool = False):
+                  block_rows: int = 16, block_cols: int = 256,
+                  interpret=None):
     """``relu((conv3x3_same(x, k) + bias) * mul + add)`` via Pallas.
 
     x: (N, H, W, C) bf16/f32; k: (3, 3, C, F) f32; bias/mul/add: (F,) f32
     or None. Returns (N, H, W, F) in x.dtype. N must be 1 (the engine's
-    tile path); vmap for batches.
+    tile path); vmap for batches. ``interpret=None`` auto-selects the
+    Pallas interpreter off-TPU (CPU tests exercise the same code path).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n, h, w, c = x.shape
     f = k.shape[-1]
     assert n == 1, "fused_conv3x3 expects a single supertile (N=1)"

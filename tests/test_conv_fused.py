@@ -37,6 +37,28 @@ def test_fused_conv_matches_lax(shape):
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("model", ["dense", "inception"])
+def test_fused_decoder_model_exact(model):
+    """fused_decoder=True: same parameter tree, same outputs (inference)."""
+    import jax
+
+    from digipathai_tpu.models.registry import build_model
+
+    be = build_model(model, dtype=jnp.float32)
+    bf = build_model(model, dtype=jnp.float32, fused_decoder=True)
+    v = be.init(64)
+    tf_ = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)),
+                                 bf.init(64))
+    te = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v)
+    assert tf_ == te
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+    pe = np.asarray(be.apply(v, x))
+    pf = np.asarray(bf.apply(v, x))
+    np.testing.assert_allclose(pf, pe, rtol=1e-4, atol=1e-4)
+
+
 def test_fused_conv_no_relu_no_affine():
     from digipathai_tpu.ops.pallas.conv_fused import fused_conv3x3
 
