@@ -169,3 +169,28 @@ class TestPipelineSmoke:
         with Slide(path) as s:
             plan = plan_patches(s, 256, 128, 8)
             assert plan.total_patches > 0
+
+    def test_engine_end_to_end_on_ndpi(self, ndpi_444, tmp_path,
+                                       monkeypatch):
+        """getSegmentation drives loader+stitcher+writer through the NDPI
+        surgery reader; the analytic oracle model recovers the lesion."""
+        from digipathai_tpu.engine.segmentation import getSegmentation
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        path, meta = ndpi_444
+        mask = tmp_path / "n-dgai-mask.tiff"
+        out = getSegmentation(
+            img_path=path, patch_size=128, stride_size=128, batch_size=8,
+            quick=True, model="oracle", mode="breast",
+            probs_path=str(tmp_path / "n-p.tiff"), mask_path=str(mask),
+            uncertainty_path=str(tmp_path / "n-u.tiff"),
+            supertile=512, num_workers=4)
+        assert out.shape == (1024, 768)
+        pred = (out.T >= 128)
+        gt = meta["lesion_mask"]
+        inter = (pred & gt).sum()
+        union = (pred | gt).sum()
+        assert inter / max(union, 1) > 0.8
+        with Slide(str(mask)) as sm:
+            assert sm.dimensions == (1024, 768)
