@@ -106,6 +106,7 @@ def getSegmentation(img_path,
                     resume: bool = False,
                     inference_mode: str = "patch",
                     tile_local_aspp: bool = True,
+                    spatial_shard="auto",
                     s2d_decoder: bool = False,
                     wpack: bool = False,
                     quantized: bool = False,
@@ -281,7 +282,7 @@ def getSegmentation(img_path,
                 status=status, timer=timer, progress_cb=progress_cb,
                 compute_dtype=compute_dtype, completed=completed,
                 on_group_done=lambda gi: save_state(), n_devices=n_dev,
-                faithful_tta=faithful_tta)
+                faithful_tta=faithful_tta, spatial_shard=spatial_shard)
     else:
         from ..ops.stitch import add_counts_host
 

@@ -155,7 +155,7 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                        status=None, timer=None, progress_cb=None,
                        compute_dtype=jnp.bfloat16, completed=None,
                        on_group_done=None, n_devices: int = 1,
-                       faithful_tta: bool = False):
+                       faithful_tta: bool = False, spatial_shard="auto"):
     """Segment every tissue supertile fully convolutionally.
 
     Reuses the patch plan's supertile groups purely as a tissue index (a
@@ -164,7 +164,12 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
 
     Multi-chip: supertiles are embarrassingly parallel, so groups are
     round-robined across devices (inputs placed per device; jit compiles a
-    per-device executable) and results are flushed by a writer pool.
+    per-device executable) and results are flushed by a writer pool.  When a
+    slide has FEWER tissue supertiles than devices that scheme leaves chips
+    idle, so ``spatial_shard="auto"`` switches to computing each supertile
+    on ALL devices at once (``build_tile_step_sp``: the tile is sharded
+    along one spatial axis; XLA GSPMD inserts the conv halo exchanges over
+    ICI).  ``True``/``False`` force the choice.
     """
     import threading
     from concurrent.futures import ThreadPoolExecutor
@@ -175,12 +180,21 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
 
     X, Y = plan.slide_dims
     S = plan.supertile
-    steps, combine, _ = build_model_tile_steps(
-        bundles, tta_full, S, halo, compute_dtype=compute_dtype,
-        faithful_tta=faithful_tta)
     completed = completed if completed is not None else set()
     devices = jax.local_devices()[:max(1, n_devices)]  # one process per slide
-    vars_on = {d: jax.device_put(variables_tuple, d) for d in devices}
+    todo = [(gi, g) for gi, g in enumerate(plan.groups)
+            if gi not in completed]
+    # sp pays off when chips would otherwise idle (fewer supertiles than
+    # devices); the sharded axis must divide the padded tile evenly
+    use_sp = (spatial_shard is True) or (
+        spatial_shard == "auto" and len(todo) < len(devices))
+    use_sp = (use_sp and len(devices) > 1
+              and (S + 2 * halo) % len(devices) == 0)
+    if not use_sp:
+        steps, combine, _ = build_model_tile_steps(
+            bundles, tta_full, S, halo, compute_dtype=compute_dtype,
+            faithful_tta=faithful_tta)
+        vars_on = {d: jax.device_put(variables_tuple, d) for d in devices}
     total = max(len(plan.groups), 1)
     done = len(completed)
     lock = threading.Lock()
@@ -231,11 +245,36 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
             if progress_cb is not None:
                 progress_cb(done, total)
 
+    if use_sp:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(devices), ("sp",))
+        step_sp = build_tile_step_sp(
+            bundles, tta_full, S, halo, mesh, compute_dtype=compute_dtype,
+            faithful_tta=faithful_tta)
+        in_sh = NamedSharding(mesh, P("sp", None, None))
+        with ThreadPoolExecutor(2) as flusher:
+            pending = []
+            for gi, g in todo:
+                ox, oy = g.origin
+                region = slide.read_region((ox - halo, oy - halo), 0,
+                                           (S + 2 * halo, S + 2 * halo))
+                tile_xyc = np.ascontiguousarray(
+                    np.transpose(region, (1, 0, 2)))
+                ctx = timer.stage("infer") if timer else _null()
+                with ctx:
+                    tile_dev = jax.device_put(tile_xyc, in_sh)
+                    mean, var = step_sp(variables_tuple, tile_dev)
+                pending.append(flusher.submit(flush, mean, var, gi, g))
+                while len(pending) > 2:
+                    pending.pop(0).result()
+            for fut in pending:
+                fut.result()
+        return
+
     with ThreadPoolExecutor(max(2, len(devices))) as flusher:
         pending = []
-        for i, (gi, g) in enumerate(
-                (gi, g) for gi, g in enumerate(plan.groups)
-                if gi not in completed):
+        for i, (gi, g) in enumerate(todo):
             dev = devices[i % len(devices)]
             ox, oy = g.origin
             # read tile + halo; Slide zero-fills out-of-bounds

@@ -39,6 +39,9 @@ class InceptionResNetV2UNet(nn.Module):
     wpack: bool = False
     # Pallas fused decoder convs (opt-in, inference only; conv_fused.py)
     fused_decoder: bool = False
+    # Pallas WHOLE-STAGE fusion (upsample+convA+convB per kernel) for the
+    # LAST fused_stages decoder stages (inference, N=1; stage_fused.py)
+    fused_stages: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -199,13 +202,36 @@ class InceptionResNetV2UNet(nn.Module):
         stages = [(320, conv4), (256, conv3), (128, conv2), (96, conv1),
                   (64, None)]
         n_s2d = min(self.s2d_stages, len(stages)) if self.s2d_decoder else 0
+        n_fs = 0
+        if self.fused_stages and not train and n_s2d == 0 and x.shape[0] == 1:
+            n_fs = min(self.fused_stages, len(stages))
+
+        def fused_stage(y, feats, skip):
+            # one whole decoder stage in a single Pallas kernel (exact; see
+            # ops/pallas/stage_fused.py); params via the byte-compatible
+            # containers so checkpoints/tree are untouched
+            from ..ops.pallas.stage_fused import fused_up_stage
+            from .s2d_decoder import BNParams, ConvParams
+
+            ka, ba = ConvParams((3, 3, y.shape[-1], feats), kernel_init=he,
+                                name=namer.conv())()
+            ma, aa = BNParams(feats, epsilon=BN_EPS, name=namer.bn())()
+            cs = 0 if skip is None else skip.shape[-1]
+            kb, bb = ConvParams((3, 3, feats + cs, feats), kernel_init=he,
+                                name=namer.conv())()
+            mb, ab = BNParams(feats, epsilon=BN_EPS, name=namer.bn())()
+            return fused_up_stage(
+                y.astype(self.dtype), ka, ba, ma, aa, kb, bb, mb, ab,
+                None if skip is None else skip.astype(self.dtype))
 
         y = conv5
-        for feats, skip in stages[:len(stages) - n_s2d]:
+        for feats, skip in stages[:len(stages) - n_s2d - n_fs]:
             y = conv_block(upsample2x(y), feats)
             if skip is not None:
                 y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
             y = conv_block(y, feats)
+        for feats, skip in stages[len(stages) - n_fs:]:
+            y = fused_stage(y, feats, skip)
 
         if n_s2d:
             from .s2d_decoder import ConvParams, s2d_unet_decoder
