@@ -28,7 +28,17 @@ _J2K_COMPRESSIONS = (33003, 33005)  # Aperio SVS JPEG2000 flavors
 class Slide:
     def __init__(self, path: str):
         self.path = str(path)
-        if self._sniff_ndpi(self.path):
+        from .mirax import detect_mirax
+
+        if detect_mirax(self.path):
+            # 3DHISTECH Mirax: directory format (io/mirax.py)
+            from .mirax import MiraxReader
+
+            self._r = MiraxReader(self.path)
+            self._pages = self._r.pages
+            self._page_index = list(range(len(self._pages)))
+            self._associated = {}
+        elif self._sniff_ndpi(self.path):
             # Hamamatsu NDPI: single-JPEG strips with restart-marker
             # random access need the dedicated reader (io/ndpi.py); the
             # native libtiff backend can't open these at all.
@@ -150,10 +160,10 @@ class Slide:
     def bounds(self) -> Optional[Tuple[int, int, int, int]]:
         """(x, y, w, h) non-empty bounds in level-0 px, or None.
 
-        TIFF/SVS record no bounds metadata; formats that do (e.g. MRXS)
-        would populate this — DeepZoomGenerator honors it for
-        ``limit_bounds`` (OpenSlide parity)."""
-        return None
+        TIFF/SVS record no bounds metadata; MRXS populates it from the
+        occupied camera grid (io/mirax.py) — DeepZoomGenerator honors it
+        for ``limit_bounds`` (OpenSlide parity)."""
+        return getattr(self._r, "bounds", None)
 
     @property
     def associated_images(self) -> dict:
@@ -163,7 +173,7 @@ class Slide:
                 for name, i in self._associated.items()}
 
     def _parse_properties(self) -> dict:
-        props = {}
+        props = dict(getattr(self._r, "properties", {}) or {})
         desc = self._pages[0].description or ""
         for part in desc.replace("\n", "|").split("|"):
             if "=" in part:
@@ -256,11 +266,16 @@ class Slide:
 
         Mirrors ``OpenSlide.detect_format`` for the formats this stack can
         actually open: ``"aperio"`` (SVS, incl. JPEG2000-compressed),
-        ``"hamamatsu"`` (NDPI via restart-marker surgery, ``io/ndpi.py``)
-        and ``"generic-tiff"``.  MRXS is directory-based and fails the
-        TIFF magic check.
+        ``"hamamatsu"`` (NDPI via restart-marker surgery, ``io/ndpi.py``),
+        ``"mirax"`` (directory-based MRXS, ``io/mirax.py``) and
+        ``"generic-tiff"``.
         """
         try:
+            from .mirax import detect_mirax
+
+            m = detect_mirax(path)
+            if m:
+                return m
             if os.path.getsize(path) < 8:
                 return None
             with open(path, "rb") as f:

@@ -288,3 +288,151 @@ def make_ndpi_slide(path: str, width=1024, height=768, seed=0, mpp=0.46,
         "tissue_mask": tissue, "lesion_mask": lesion,
         "levels": [a for a, _ in levels], "macro": macro,
     }
+
+
+def make_mirax_slide(path: str, seed=0, nx=6, ny=5, tile=128, overlap=16,
+                     zoom_levels=3, empty_border=1, mpp=0.23,
+                     image_format="PNG") -> dict:
+    """Write a 3DHISTECH Mirax (MRXS) directory slide per the layout
+    ``digipathai_tpu/io/mirax.py`` documents: ``<path>`` preview file +
+    sibling ``<stem>/`` directory with Slidedat.ini, a binary Index.dat and
+    one Data0000.dat of concatenated tile payloads.
+
+    An ``empty_border``-camera ring is left unoccupied so the non-trivial
+    ``bounds`` path (MRXS images start inside a larger virtual canvas) is
+    exercised.  ``image_format="PNG"`` keeps tiles lossless so tests can
+    compare assembled regions bit-exactly against the returned canvas.
+    """
+    import os
+    import struct
+    from io import BytesIO
+
+    from PIL import Image
+
+    adv = tile - overlap
+    w0 = (nx - 1) * adv + tile
+    h0 = (ny - 1) * adv + tile
+    img, tissue, lesion = render_he_like(w0, h0, seed)
+    fill_rgb = (250, 248, 246)
+    fill_bgr = fill_rgb[2] | (fill_rgb[1] << 8) | (fill_rgb[0] << 16)
+
+    occupied = np.zeros((ny, nx), bool)
+    occupied[empty_border:ny - empty_border,
+             empty_border:nx - empty_border] = True
+    canvas = np.empty_like(img)
+    canvas[:] = np.array(fill_rgb, np.uint8)
+    occ_mask = np.zeros((h0, w0), bool)
+    for ty in range(ny):
+        for tx in range(nx):
+            if occupied[ty, tx]:
+                x0, y0 = tx * adv, ty * adv
+                occ_mask[y0:y0 + tile, x0:x0 + tile] = True
+    canvas[occ_mask] = img[occ_mask]
+
+    stem, _ = os.path.splitext(str(path))
+    slide_dir = stem
+    os.makedirs(slide_dir, exist_ok=True)
+    slide_id = "DPAI-MIRAX-FIXTURE"
+
+    # preview file (the .mrxs itself is a small image)
+    prev = Image.fromarray(canvas[::4, ::4])
+    prev.save(str(path), "JPEG", quality=80)
+
+    # data file + per-level index records
+    data_path = os.path.join(slide_dir, "Data0000.dat")
+    levels_records = []
+    with open(data_path, "wb") as df:
+        level_img = canvas
+        for z in range(zoom_levels):
+            if z:
+                level_img = level_img[::2, ::2]
+            lh, lw = level_img.shape[:2]
+            across = max(1, -(-nx // (1 << z)))
+            down = max(1, -(-ny // (1 << z)))
+            recs = []
+            for ty in range(down):
+                for tx in range(across):
+                    # occupied iff any covered camera position is occupied
+                    cams = occupied[ty << z:(ty + 1) << z,
+                                    tx << z:(tx + 1) << z]
+                    if not cams.any():
+                        continue
+                    x0, y0 = tx * adv, ty * adv
+                    blk = np.empty((tile, tile, 3), np.uint8)
+                    blk[:] = np.array(fill_rgb, np.uint8)
+                    sub = level_img[y0:y0 + tile, x0:x0 + tile]
+                    blk[:sub.shape[0], :sub.shape[1]] = sub
+                    buf = BytesIO()
+                    Image.fromarray(blk).save(buf, image_format)
+                    payload = buf.getvalue()
+                    recs.append((ty * across + tx, df.tell(), len(payload), 0))
+                    df.write(payload)
+            levels_records.append(recs)
+
+    # Index.dat: version + slide id + (hier_root, nonhier_root) + pointer
+    # table + one page per zoom level
+    idb = BytesIO()
+    idb.write(b"01.02")
+    idb.write(slide_id.encode())
+    root_pos = idb.tell()
+    idb.write(struct.pack("<ii", 0, 0))  # patched below
+    hier_root = idb.tell()
+    idb.write(b"\0" * 4 * zoom_levels)   # pointer table, patched below
+    ptrs = []
+    for recs in levels_records:
+        ptrs.append(idb.tell())
+        idb.write(struct.pack("<ii", len(recs), 0))
+        for r in recs:
+            idb.write(struct.pack("<iiii", *r))
+    raw = bytearray(idb.getvalue())
+    struct.pack_into("<ii", raw, root_pos, hier_root, 0)
+    for j, p in enumerate(ptrs):
+        struct.pack_into("<i", raw, hier_root + 4 * j, p)
+    with open(os.path.join(slide_dir, "Index.dat"), "wb") as f:
+        f.write(raw)
+
+    sections = [
+        "[GENERAL]",
+        f"SLIDE_ID={slide_id}",
+        "SLIDE_VERSION=1.9",
+        f"IMAGENUMBER_X={nx}",
+        f"IMAGENUMBER_Y={ny}",
+        "",
+        "[HIERARCHICAL]",
+        "HIER_COUNT=1",
+        "NONHIER_COUNT=0",
+        "INDEXFILE=Index.dat",
+        "HIER_0_NAME=Slide zoom level",
+        f"HIER_0_COUNT={zoom_levels}",
+    ]
+    for z in range(zoom_levels):
+        sections += [f"HIER_0_VAL_{z}=ZoomLevel_{z}",
+                     f"HIER_0_VAL_{z}_SECTION=LAYER_0_LEVEL_{z}_SECTION"]
+    sections += ["", "[DATAFILE]", "FILE_COUNT=1", "FILE_0=Data0000.dat"]
+    for z in range(zoom_levels):
+        sections += [
+            "",
+            f"[LAYER_0_LEVEL_{z}_SECTION]",
+            f"DIGITIZER_WIDTH={tile}",
+            f"DIGITIZER_HEIGHT={tile}",
+            f"OVERLAP_X={overlap}",
+            f"OVERLAP_Y={overlap}",
+            f"IMAGE_FORMAT={image_format}",
+            f"IMAGE_FILL_COLOR_BGR={fill_bgr}",
+            f"MICROMETER_PER_PIXEL_X={mpp * (1 << z)}",
+            f"MICROMETER_PER_PIXEL_Y={mpp * (1 << z)}",
+        ]
+    with open(os.path.join(slide_dir, "Slidedat.ini"), "w",
+              encoding="utf-8-sig") as f:
+        f.write("\n".join(sections) + "\n")
+
+    bx0, by0 = empty_border * adv, empty_border * adv
+    bx1 = (nx - 1 - empty_border) * adv + tile
+    by1 = (ny - 1 - empty_border) * adv + tile
+    return {
+        "width": w0, "height": h0, "canvas": canvas, "fill": fill_rgb,
+        "occupied": occupied, "occ_mask": occ_mask, "mpp": mpp,
+        "bounds": (bx0, by0, bx1 - bx0, by1 - by0),
+        "tissue_mask": tissue, "lesion_mask": lesion,
+        "zoom_levels": zoom_levels,
+    }
