@@ -130,6 +130,9 @@ def bench_tile(names, tta, patch):
     quant = os.environ.get("DPAI_BENCH_QUANT") == "1"
     wpack = os.environ.get("DPAI_BENCH_WPACK") == "1"
     fused = os.environ.get("DPAI_BENCH_FUSED") == "1"
+    # whole-stage Pallas fusion of the last N U-Net decoder stages
+    # (ops/pallas/stage_fused.py); round-3 lever per BASELINE.md
+    fused_stages = int(os.environ.get("DPAI_BENCH_FUSED_STAGE", 0))
 
     def model_kw(n):
         kw = {"quantized": True} if quant else {}
@@ -142,6 +145,8 @@ def bench_tile(names, tta, patch):
                 kw["wpack"] = True
             if fused:
                 kw["fused_decoder"] = True
+            if fused_stages:
+                kw["fused_stages"] = fused_stages
         return kw
 
     bundles = [build_model(n, dtype=jnp.bfloat16, **model_kw(n))

@@ -109,6 +109,7 @@ def getSegmentation(img_path,
                     spatial_shard="auto",
                     s2d_decoder: bool = False,
                     wpack: bool = False,
+                    fused_stages: int = 0,
                     quantized: bool = False,
                     mask_predictions: bool = False,
                     fold_bn: bool = False,
@@ -160,6 +161,10 @@ def getSegmentation(img_path,
             # exact width-packed decoder convs (ops/wpack.py) — opt-in:
             # measured net-slower on v5e (see BASELINE.md), exact outputs
             kw["wpack"] = True
+        if fused_stages and name in ("dense", "inception"):
+            # whole-stage Pallas fusion of the last N decoder stages
+            # (ops/pallas/stage_fused.py; tile mode, inference only)
+            kw["fused_stages"] = fused_stages
         if quantized:
             # opt-in int8 inference for the wide convs (models/quant.py);
             # measured probability-map deviation recorded in PARITY.md

@@ -134,29 +134,40 @@ def mean_field_crf(image_u8: jnp.ndarray, probs_fg: jnp.ndarray,
       probs_fg: (H, W) float32 in [0, 1].
     Returns the refined foreground probability (H, W) float32.
     """
-    h, w = probs_fg.shape
     q = jnp.stack([1.0 - probs_fg, probs_fg], axis=-1)
     u = -jnp.log(jnp.clip(q, 1e-5, 1.0))  # unary_from_softmax w/ clip
 
+    for _ in range(n_iters):
+        m_gauss = _gaussian_message(q, pos_sigma)
+        m_bil = production_bilateral_message(
+            q, image_u8, bil_sigma_xy, bil_sigma_rgb, bil_downsample,
+            bil_radius)
+        logits = -u + compat_gaussian * m_gauss + compat_bilateral * m_bil
+        q = jax.nn.softmax(logits, axis=-1)
+    return q[..., 1]
+
+
+def production_bilateral_message(q, image_u8, bil_sigma_xy=50.0,
+                                 bil_sigma_rgb=20.0, bil_downsample=4,
+                                 bil_radius=10):
+    """The engine's bilateral message at full resolution: truncated-window
+    message at a downsampled grid, nearest-upsampled back.  Factored out so
+    tests can bound its deviation against the exact dense operator at slide
+    scale (tests/test_crf_bound.py).  ``q`` is (H, W, L) float32."""
+    h, w = q.shape[:2]
     # clamp: tiny edge chunks (h or w < bil_downsample) would yield an
     # empty downsampled grid and an un-paddable empty axis
     ds = max(1, min(bil_downsample, h, w))
     hd, wd = h // ds, w // ds
     img_small = image_u8[:hd * ds, :wd * ds].astype(jnp.float32)
     img_small = img_small.reshape(hd, ds, wd, ds, 3).mean((1, 3))
-    sig_xy_small = bil_sigma_xy / ds
-
-    for _ in range(n_iters):
-        m_gauss = _gaussian_message(q, pos_sigma)
-        q_small = q[:hd * ds, :wd * ds].reshape(hd, ds, wd, ds, 2).mean((1, 3))
-        m_bil_small = _bilateral_message_dispatch(
-            q_small, img_small, sig_xy_small, bil_sigma_rgb, bil_radius)
-        m_bil = jnp.repeat(jnp.repeat(m_bil_small, ds, 0), ds, 1)
-        m_bil = jnp.pad(m_bil, ((0, h - hd * ds), (0, w - wd * ds), (0, 0)),
-                        mode="edge")
-        logits = -u + compat_gaussian * m_gauss + compat_bilateral * m_bil
-        q = jax.nn.softmax(logits, axis=-1)
-    return q[..., 1]
+    q_small = q[:hd * ds, :wd * ds].reshape(
+        hd, ds, wd, ds, q.shape[-1]).mean((1, 3))
+    m_bil_small = _bilateral_message_dispatch(
+        q_small, img_small, bil_sigma_xy / ds, bil_sigma_rgb, bil_radius)
+    m_bil = jnp.repeat(jnp.repeat(m_bil_small, ds, 0), ds, 1)
+    return jnp.pad(m_bil, ((0, h - hd * ds), (0, w - wd * ds), (0, 0)),
+                   mode="edge")
 
 
 def refine_slide_crf(slide, mean_map, supertile: int = 4096,

@@ -100,3 +100,68 @@ class TestCrfTruncationBound:
         before = np.abs(probs - blob).mean()
         after = np.abs(refined - blob).mean()
         assert after < before
+
+
+class TestSlideScaleBound:
+    """VERDICT r2 item 5: the 96x96 dynamics bound above says nothing about
+    slide scale, where the production config (bil_downsample=4, radius 10)
+    truncates color interactions past ~40 px while sigma_xy=50 still gives
+    pairs at 40-150 px significant weight.  An exact dense mean-field at
+    1024^2 is O(N^2)=1e12 pairs -- infeasible -- so the bound is split:
+
+    - iteration DYNAMICS deviation: pinned by the 96x96 exact test above;
+    - per-MESSAGE operator deviation at true slide scale: the production
+      bilateral message over a full 1024^2 fixture vs the mathematically
+      exact dense message evaluated at sampled pixels (exact per sample:
+      a weighted sum over ALL 1M pixels -- no truncation, no downsampling).
+
+    Measured (seed 3, 384 samples): mean|dm| = 0.0024, p95 = 0.0032,
+    max = 0.41 of a [0,1] message -- i.e. the production window captures
+    the dense operator almost everywhere, with a thin tail at pixels whose
+    same-color mass sits mostly beyond the 40 px window (the documented
+    ConvCRF-style truncation cost, ops/crf.py docstring).  PARITY.md
+    records these.
+    """
+
+    def test_production_message_vs_exact_dense_1024(self):
+        import jax.numpy as jnp
+
+        from tests.fixtures import render_he_like
+        from digipathai_tpu.ops.crf import production_bilateral_message
+
+        h = w = 1024
+        img, tissue, lesion = render_he_like(w, h, seed=3)
+        rng = np.random.default_rng(3)
+        probs = np.clip(lesion * 0.75 + rng.normal(0, 0.15, (h, w)), 0, 1)
+        q = np.stack([1.0 - probs, probs], -1).astype(np.float32)
+
+        m_prod = np.asarray(production_bilateral_message(
+            jnp.asarray(q), jnp.asarray(img)))
+
+        # exact dense message at sampled pixels, biased toward the lesion
+        # boundary where the message matters
+        ys, xs = np.where(lesion)
+        k = 256
+        idx = rng.choice(len(ys), size=k, replace=False)
+        samp = list(zip(ys[idx], xs[idx]))
+        samp += [(int(y), int(x)) for y, x in
+                 rng.integers(0, h, size=(128, 2))]
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        imgf = img.astype(np.float32)
+        qf = q.reshape(-1, 2)
+        errs = []
+        for (sy, sx) in samp:
+            d2 = (yy - sy) ** 2 + (xx - sx) ** 2
+            c2 = ((imgf - imgf[sy, sx]) ** 2).sum(-1)
+            wgt = np.exp(-d2 / (2 * 50.0 ** 2) - c2 / (2 * 20.0 ** 2))
+            wgt[sy, sx] = 0.0
+            m_exact = (wgt.ravel()[:, None] * qf).sum(0) / max(wgt.sum(),
+                                                               1e-12)
+            errs.append(np.abs(m_prod[sy, sx] - m_exact).max())
+        errs = np.asarray(errs)
+        print(f"slide-scale message deviation: mean={errs.mean():.4f} "
+              f"p95={np.percentile(errs, 95):.4f} max={errs.max():.4f}")
+        # pinned at ~4x the measured values; a change that widens the
+        # truncation (or breaks the downsample path) trips these
+        assert errs.mean() < 0.01
+        assert np.percentile(errs, 95) < 0.02

@@ -68,15 +68,20 @@ def main():
     for key in args.stages.split(","):
         name, hh, c, cs, f = shapes[key]
         rng = np.random.default_rng(0)
-        y = jnp.asarray(rng.normal(0, 1, (1, hh, hh, c)), jnp.bfloat16)
+        # big activations are generated ON-DEVICE: host->device through the
+        # relay runs at ~17 MB/s and a GB-scale transfer looks like a hang
+        kg = jax.random.PRNGKey(0)
+        y = jax.jit(lambda k: jax.random.normal(
+            k, (1, hh, hh, c), jnp.bfloat16))(kg)
         ka = jnp.asarray(rng.normal(0, .1, (3, 3, c, f)), jnp.float32)
         kb = jnp.asarray(rng.normal(0, .1, (3, 3, f + cs, f)), jnp.float32)
         ba, bb, aa, ab = (jnp.asarray(rng.normal(0, .1, (f,)), jnp.float32)
                           for _ in range(4))
         ma, mb = (jnp.asarray(rng.uniform(.5, 1.5, (f,)), jnp.float32)
                   for _ in range(2))
-        skip = (jnp.asarray(rng.normal(0, 1, (1, 2 * hh, 2 * hh, cs)),
-                            jnp.bfloat16) if cs else None)
+        skip = (jax.jit(lambda k: jax.random.normal(
+            k, (1, 2 * hh, 2 * hh, cs), jnp.bfloat16))(kg) if cs else None)
+        log(f"{name}: inputs ready on device")
 
         canon = jax.jit(canonical_fn)
 
