@@ -134,7 +134,10 @@ def _kernel(y_hbm, s_hbm, ka_ref, kba_ref, kbs_ref, affa_ref, affb_ref,
     rr = jax.lax.broadcasted_iota(jnp.int32, (R + 2, WPA), 0) + i * R - 1
     cc = jax.lax.broadcasted_iota(jnp.int32, (R + 2, WPA), 1) + j * WC - 1
     valid = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
-    abuf[:] = jnp.where(valid[..., None], af, 0.0).astype(abuf.dtype)
+    # multiply by a float {0,1} mask instead of jnp.where: a lane-broadcast
+    # bool select crashes the Mosaic compiler (HTTP 500 from the compile
+    # helper — bisected round 3); the product is exact for finite values
+    abuf[:] = (af * valid.astype(af.dtype)[..., None]).astype(abuf.dtype)
 
     if has_skip:
         sdma(slot, i, j).wait()

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--stages", default="4,5")
     ap.add_argument("--rows", type=int, default=32)
     ap.add_argument("--cols", type=int, default=128)
+    ap.add_argument("--skip-canonical", action="store_true",
+                    help="only measure the Pallas kernel (the canonical XLA "
+                         "composition is compile-pathological through the "
+                         "remote endpoint; compare against cached bench "
+                         "numbers instead)")
     args = ap.parse_args()
 
     import os
@@ -43,8 +48,10 @@ def main():
 
     log(f"backend={jax.default_backend()} rows={args.rows} cols={args.cols}")
 
-    # (name, Hh, C, Cs, F): dense-UNet stages at tile 4096 + 2*128 halo
+    # (name, Hh, C, Cs, F): dense-UNet stages at tile 4096 + 2*128 halo;
+    # "c" = small canary (compile/correctness gate before the big shapes)
     shapes = {
+        "c": ("canary", 128, 64, 32, 64),
         "4": ("stage4", 1088, 128, 64, 96),
         "5": ("stage5", 2176, 96, 0, 64),
     }
@@ -104,7 +111,7 @@ def main():
             log(f"{name} {label}: {dt:.2f} ms/iter (incl ~7ms dispatch)")
             return dt
 
-        dc = run(canon, "xla-canonical")
+        dc = None if args.skip_canonical else run(canon, "xla-canonical")
         df = run(fused_up_stage, "pallas-fused", block_rows=args.rows,
                  block_cols=args.cols)
         if dc and df:
