@@ -133,6 +133,9 @@ def bench_tile(names, tta, patch):
     # whole-stage Pallas fusion of the last N U-Net decoder stages
     # (ops/pallas/stage_fused.py); round-3 lever per BASELINE.md
     fused_stages = int(os.environ.get("DPAI_BENCH_FUSED_STAGE", 0))
+    # run the TTA forwards B at a time (batched convs run at ~2x the MXU
+    # efficiency of batch-1 giant-spatial ones — round-3 decomposition)
+    ttab = int(os.environ.get("DPAI_BENCH_TTAB", 1))
 
     def model_kw(n):
         kw = {"quantized": True} if quant else {}
@@ -147,12 +150,17 @@ def bench_tile(names, tta, patch):
                 kw["fused_decoder"] = True
             if fused_stages:
                 kw["fused_stages"] = fused_stages
+            if os.environ.get("DPAI_BENCH_TRUNC") and n == "dense":
+                # measurement-only: drop the last N decoder stages' convs to
+                # attribute in-model per-stage cost (models/densenet_unet.py)
+                kw["trunc_last"] = int(os.environ["DPAI_BENCH_TRUNC"])
         return kw
 
     bundles = [build_model(n, dtype=jnp.bfloat16, **model_kw(n))
                for n in names]
     variables = tuple(b.init(tile + 2 * halo) for b in bundles)
-    steps, combine, _ = build_model_tile_steps(bundles, tta, tile, halo)
+    steps, combine, _ = build_model_tile_steps(bundles, tta, tile, halo,
+                                               tta_batch=ttab)
     rng = np.random.default_rng(0)
     tile_u8 = jnp.asarray(
         rng.integers(0, 255, (tile + 2 * halo, tile + 2 * halo, 3), np.uint8))

@@ -66,7 +66,8 @@ def build_tile_step(bundles: Sequence, tta_list: Sequence[str],
 def build_model_tile_steps(bundles: Sequence, tta_list: Sequence[str],
                            tile: int, halo: int,
                            compute_dtype=jnp.bfloat16,
-                           faithful_tta: bool = False):
+                           faithful_tta: bool = False,
+                           tta_batch: int = 1):
     """Per-model jitted tile steps + a combine step (the big-tile path).
 
     One XLA program per MODEL instead of one for the whole ensemble: peak
@@ -80,28 +81,43 @@ def build_model_tile_steps(bundles: Sequence, tta_list: Sequence[str],
     Returns ``(steps, combine, n_preds)`` where each ``steps[i](variables,
     tile_u8) -> (sum, sumsq)`` and ``combine(sums, sqs) -> (mean, var)``
     with ``sums``/``sqs`` lists of per-model results.
+
+    ``tta_batch=B`` runs the TTA forwards B at a time instead of strictly
+    serialized: peak HBM scales ~B-fold, but batched convolutions run at
+    measurably higher MXU efficiency than batch-1 giant-spatial ones (the
+    round-3 patch-vs-tile efficiency gap, BASELINE.md).  All dihedral TTA
+    variants of a square tile share one shape, so they stack cleanly.
     """
     chains = tta_ops.effective_transforms(tta_list, faithful=faithful_tta)
 
     def make_step(bundle):
         def step(variables, tile_u8):
             x = normalize_patches(tile_u8[None], dtype=compute_dtype)
-            # One forward per TTA chain, SERIALIZED via lax.scan so peak HBM
-            # holds a single forward's activations (unrolled chains let XLA
-            # interleave them, which is what OOMed tile 4096).  The halo
+            # TTA forwards, SERIALIZED (B=1) or B-batched via lax.scan so
+            # peak HBM holds B forwards' activations (unrolled chains let
+            # XLA interleave them, which is what OOMed tile 4096).  The halo
             # crop is a center crop of a square tile, so it commutes with
             # every dihedral TTA transform and can happen inside the body,
             # before the (outside-of-scan, per-chain static) inversion.
             xts = jnp.concatenate(
                 [tta_ops.apply_chain(x, c) for c in chains], axis=0)
 
+            B = max(1, min(tta_batch, len(chains)))
+            nb, rem = divmod(len(chains), B)
+
             def body(_, xt):
-                p = bundle.apply(variables, xt[None])[0, ..., 1]
+                p = bundle.apply(variables, xt)[..., 1]
                 if halo:
-                    p = p[halo:-halo, halo:-halo]
+                    p = p[:, halo:-halo, halo:-halo]
                 return 0, p.astype(jnp.float32)
 
-            _, preds = jax.lax.scan(body, 0, xts)
+            hw = tile
+            _, preds = jax.lax.scan(
+                body, 0, xts[:nb * B].reshape(nb, B, *xts.shape[1:]))
+            preds = preds.reshape(nb * B, hw, hw)
+            if rem:
+                _, tail = body(0, xts[nb * B:])
+                preds = jnp.concatenate([preds, tail], axis=0)
             s = sq = None
             for i, chain in enumerate(chains):
                 inv = chain[-1] if chain else tta_ops.DEFAULT

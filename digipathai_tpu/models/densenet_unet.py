@@ -52,6 +52,10 @@ class DenseNet121UNet(nn.Module):
     # Pallas WHOLE-STAGE fusion (upsample+convA+convB per kernel) for the
     # LAST fused_stages decoder stages (inference, N=1; stage_fused.py)
     fused_stages: int = 0
+    # MEASUREMENT ONLY: drop the last N decoder stages' convs (replaced by
+    # upsample + channel slice so head shapes are preserved).  Used by the
+    # bench to attribute in-model per-stage cost; never for real inference.
+    trunc_last: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -154,6 +158,10 @@ class DenseNet121UNet(nn.Module):
         # --- decoder (U-Net) ---
         stages = [(320, conv4), (256, conv3), (128, conv2), (96, conv1),
                   (64, None)]
+        trunc = int(self.trunc_last) if not train else 0
+        if trunc:
+            dropped = stages[-trunc:]
+            stages = stages[:-trunc]
         n_s2d = min(self.s2d_stages, len(stages)) if self.s2d_decoder else 0
         n_fs = 0
         if self.fused_stages and not train and n_s2d == 0 and x.shape[0] == 1:
@@ -226,5 +234,10 @@ class DenseNet121UNet(nn.Module):
                 tuple(f for f, _ in tail), make_conv, make_bn, make_head,
                 self.num_classes, self.dtype)
 
+        if trunc:
+            # stand-in for each dropped stage: tensor of the same shape and
+            # consumer structure, none of the stage's conv FLOPs
+            for feats, _ in dropped:
+                y = upsample2x(y)[..., :feats]
         logits = conv(self.num_classes, (1, 1), name=f"conv2d_{dec_idx['conv']}")(y)
         return nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -163,6 +163,33 @@ class TestTileMode:
         np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-6)
         np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-6)
 
+    @pytest.mark.parametrize("ttab", [2, 3, 5])
+    def test_tta_batched_matches_serial(self, rng, ttab):
+        """tta_batch=B (B-at-a-time TTA forwards) is numerically identical to
+        the serialized B=1 path for every divisibility case: 5 chains with
+        B=5 (one batch), B=2 (2 batches + tail of 1), B=3 (1 batch + tail
+        of 2)."""
+        import jax.numpy as jnp
+
+        from digipathai_tpu.engine.tile_infer import build_model_tile_steps
+        from digipathai_tpu.models.registry import build_model
+
+        bundles = [build_model("tiny", dtype=jnp.float32)]
+        vs = tuple(b.init(64) for b in bundles)
+        img = jnp.asarray(rng.integers(0, 255, (192, 192, 3)).astype(np.uint8))
+        tta = ["DEFAULT", "FLIP_LEFT_RIGHT", "ROTATE_90", "ROTATE_180",
+               "ROTATE_270"]
+
+        base, combine, _ = build_model_tile_steps(
+            bundles, tta, 128, 32, compute_dtype=jnp.float32)
+        s0, q0 = base[0](vs[0], img)
+
+        batched, _, _ = build_model_tile_steps(
+            bundles, tta, 128, 32, compute_dtype=jnp.float32, tta_batch=ttab)
+        s1, q1 = batched[0](vs[0], img)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(q0), np.asarray(q1), atol=1e-5)
+
 
 class TestLocalASPP:
     def test_window_equals_global_at_patch_size(self, rng):
