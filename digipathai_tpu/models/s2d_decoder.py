@@ -110,10 +110,13 @@ class ConvParams(nn.Module):
 
     shape: tuple  # (kh, kw, in, out)
     kernel_init: object = nn.initializers.he_normal()
+    use_bias: bool = True  # False matches nn.Conv(use_bias=False): no param
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", self.kernel_init, self.shape, jnp.float32)
+        if not self.use_bias:
+            return k, None
         b = self.param("bias", nn.initializers.zeros,
                        (self.shape[-1],), jnp.float32)
         return k, b

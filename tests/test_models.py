@@ -67,6 +67,26 @@ class TestDenseNetUNet:
         bs = variables["batch_stats"]
         assert "conv1__bn" in bs and "mean" in bs["conv1__bn"]
 
+    def test_chunked_encoder_matches_canonical(self, bundle, variables):
+        """chunked_encoder=True (the inference default) computes the exact
+        same function as the per-layer-concat canonical path, with an
+        IDENTICAL parameter tree — the variables init'd from one module
+        apply unchanged through the other (tools/encoder_probe.py round-3
+        measurement: 1.4-1.9x per dense block on v5e)."""
+        canon = build_model("dense", dtype=jnp.float32,
+                            chunked_encoder=False)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        y_chunked = bundle.apply(variables, x)
+        y_canon = canon.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(y_chunked),
+                                   np.asarray(y_canon), atol=2e-5)
+        # and the param trees are structurally identical
+        v2 = canon.init(64)
+        t1 = jax.tree_util.tree_structure(variables)
+        t2 = jax.tree_util.tree_structure(v2)
+        assert t1 == t2
+
 
 class TestH5Converter:
     def _fake_keras_h5(self, path, variables):
