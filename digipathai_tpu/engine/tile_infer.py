@@ -39,9 +39,9 @@ def _make_raw_tile_step(bundles: Sequence, tta_list: Sequence[str],
         for bundle, variables in zip(bundles, variables_list):
             for chain in chains:
                 xt = tta_ops.apply_chain(x, chain)
-                p = bundle.apply(variables, xt)
+                p = bundle.apply_p1(variables, xt)   # (1, H, W), rank-3
                 inv = chain[-1] if chain else tta_ops.DEFAULT
-                preds.append(tta_ops.invert(p, inv)[0, ..., 1])
+                preds.append(tta_ops.invert(p, inv)[0])
         stack = jnp.stack(preds)
         mean = jnp.mean(stack, axis=0)
         var = jnp.var(stack, axis=0)
@@ -106,7 +106,7 @@ def build_model_tile_steps(bundles: Sequence, tta_list: Sequence[str],
             nb, rem = divmod(len(chains), B)
 
             def body(_, xt):
-                p = bundle.apply(variables, xt)[..., 1]
+                p = bundle.apply_p1(variables, xt)   # (B, H, W), rank-3
                 if halo:
                     p = p[:, halo:-halo, halo:-halo]
                 return 0, p.astype(jnp.float32)

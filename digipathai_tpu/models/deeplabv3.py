@@ -46,7 +46,8 @@ class DeepLabV3Plus(nn.Module):
     quantized: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 binary: bool = False) -> jnp.ndarray:
         from .quant import conv_ctor
 
         conv = partial(conv_ctor(self.quantized and not train),
@@ -212,6 +213,20 @@ class DeepLabV3Plus(nn.Module):
 
         # 2-class head: 'custom_logits_semantic' since classes != 21
         # (reference deeplabv3.py:436-441)
+        if binary and self.num_classes == 2 and not train:
+            # sigmoid(resize(l1 - l0)) == softmax(resize(l))[..., 1] exactly
+            # (the bilinear resize is linear); rank-3 all the way, so neither
+            # the resize nor the head pays the 128-lane channel padding
+            from .s2d_decoder import ConvParams
+
+            k, b = ConvParams((1, 1, y.shape[-1], 2),
+                              kernel_init=nn.initializers.lecun_normal(),
+                              name="custom_logits_semantic")()
+            wd = (k[0, 0, :, 1] - k[0, 0, :, 0]).astype(y.dtype)
+            bd = (b[1] - b[0]).astype(jnp.float32)
+            z = jnp.einsum("nhwc,c->nhw", y, wd,
+                           preferred_element_type=jnp.float32) + bd
+            return nn.sigmoid(resize_bilinear_align_corners(z, (H, W)))
         y = nn.Conv(self.num_classes, (1, 1), padding="SAME",
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="custom_logits_semantic")(y)

@@ -66,7 +66,12 @@ class DenseNet121UNet(nn.Module):
     chunked_encoder: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 binary: bool = False) -> jnp.ndarray:
+        """``binary=True`` (inference, 2 classes): return p(class 1) as a
+        rank-3 (N, H, W) f32 map instead of the (N, H, W, 2) softmax —
+        mathematically identical (sigmoid of the logit difference) and ~64x
+        cheaper at the head on TPU tiled layouts (models/heads.py)."""
         from .quant import conv_ctor
 
         conv = partial(conv_ctor(self.quantized and not train),
@@ -295,15 +300,20 @@ class DenseNet121UNet(nn.Module):
                     name=f"conv2d_{ci}")()
 
             tail = stages[len(stages) - n_s2d:]
-            return s2d_unet_decoder(
+            r = s2d_unet_decoder(
                 y, [s for _, s in tail if s is not None],
                 tuple(f for f, _ in tail), make_conv, make_bn, make_head,
                 self.num_classes, self.dtype)
+            return r[..., 1] if binary and self.num_classes == 2 else r
 
         if trunc:
             # stand-in for each dropped stage: tensor of the same shape and
             # consumer structure, none of the stage's conv FLOPs
             for feats, _ in dropped:
                 y = upsample2x(y)[..., :feats]
+        if binary and self.num_classes == 2 and not train:
+            from .heads import binary_p1
+
+            return binary_p1(y, f"conv2d_{dec_idx['conv']}")
         logits = conv(self.num_classes, (1, 1), name=f"conv2d_{dec_idx['conv']}")(y)
         return nn.softmax(logits.astype(jnp.float32), axis=-1)

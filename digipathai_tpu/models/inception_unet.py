@@ -44,7 +44,9 @@ class InceptionResNetV2UNet(nn.Module):
     fused_stages: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 binary: bool = False) -> jnp.ndarray:
+        """``binary=True``: rank-3 p(class 1) head — see models/heads.py."""
         from .quant import conv_ctor
 
         conv = partial(conv_ctor(self.quantized and not train),
@@ -251,10 +253,15 @@ class InceptionResNetV2UNet(nn.Module):
                     name=namer.conv())()
 
             tail = stages[len(stages) - n_s2d:]
-            return s2d_unet_decoder(
+            r = s2d_unet_decoder(
                 y, [s for _, s in tail if s is not None],
                 tuple(f for f, _ in tail), make_conv, make_bn, make_head,
                 self.num_classes, self.dtype)
+            return r[..., 1] if binary and self.num_classes == 2 else r
 
+        if binary and self.num_classes == 2 and not train:
+            from .heads import binary_p1
+
+            return binary_p1(y, namer.conv())
         logits = conv(self.num_classes, (1, 1), name=namer.conv())(y)
         return nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -19,7 +19,8 @@ class OracleDarkness(nn.Module):
     dtype: object = jnp.float32  # accepted for engine uniformity; output is f32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 binary: bool = False) -> jnp.ndarray:
         brightness = jnp.mean(x.astype(jnp.float32), axis=-1)
         p1 = jax.nn.sigmoid((self.pivot - brightness) * self.sharpness)
-        return jnp.stack([1.0 - p1, p1], axis=-1)
+        return p1 if binary else jnp.stack([1.0 - p1, p1], axis=-1)

@@ -31,6 +31,15 @@ class ModelBundle:
     def apply(self, variables, x):
         return self.module.apply(variables, x, train=False)
 
+    def apply_p1(self, variables, x):
+        """p(class 1) as a rank-3 (B, H, W) map — the engine's fast path.
+
+        Mathematically identical to ``apply(...)[..., 1]`` but skips the
+        (..., 2) full-resolution softmax whose minor axis the TPU tiled
+        layout pads to 128 lanes (~39 ms/forward at tile 4096 — see
+        models/heads.py). Same variables work for both entry points."""
+        return self.module.apply(variables, x, train=False, binary=True)
+
 
 def _build_dense(**kw) -> ModelBundle:
     from .densenet_unet import DenseNet121UNet

@@ -21,7 +21,8 @@ class TinyUNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 binary: bool = False) -> jnp.ndarray:
         conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
         w = self.width
         x = x.astype(self.dtype)
@@ -35,4 +36,7 @@ class TinyUNet(nn.Module):
         u1 = jnp.concatenate([upsample2x(u2), e1], axis=-1)
         u1 = nn.relu(conv(w, (3, 3), padding="SAME")(u1))
         logits = conv(self.num_classes, (1, 1))(u1)
-        return nn.softmax(logits.astype(jnp.float32), axis=-1)
+        p = nn.softmax(logits.astype(jnp.float32), axis=-1)
+        # CPU test model: no layout padding to dodge — just match the
+        # binary-head output contract (see models/heads.py)
+        return p[..., 1] if binary and self.num_classes == 2 else p

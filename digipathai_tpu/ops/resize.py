@@ -35,17 +35,23 @@ def _axis_tables(n_in: int, n_out: int):
 
 def resize_bilinear_align_corners(x: jnp.ndarray,
                                   out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Resize (B, H, W, C) -> (B, oh, ow, C), align_corners=True."""
+    """Resize (B, H, W, C) or (B, H, W) along axes 1-2, align_corners=True.
+
+    The rank-3 form exists for the binary-head path: a (B, H, W) map has no
+    channel axis for the TPU tiled layout to pad to 128 lanes, so resizing
+    it moves ~64x less HBM traffic than the (B, H, W, 2) equivalent.
+    """
     oh, ow = int(out_hw[0]), int(out_hw[1])
     h, w = x.shape[1], x.shape[2]
+    tail = x.ndim - 3  # trailing channel axis present?
     dtype = x.dtype
     xf = x.astype(jnp.float32)
 
     i0, i1, w1 = _axis_tables(h, oh)
-    w1r = jnp.asarray(w1)[None, :, None, None]
+    w1r = jnp.asarray(w1).reshape((1, -1) + (1,) * (1 + tail))
     xf = xf[:, i0] * (1.0 - w1r) + xf[:, i1] * w1r
 
     j0, j1, v1 = _axis_tables(w, ow)
-    v1r = jnp.asarray(v1)[None, None, :, None]
+    v1r = jnp.asarray(v1).reshape((1, 1, -1) + (1,) * tail)
     xf = xf[:, :, j0] * (1.0 - v1r) + xf[:, :, j1] * v1r
     return xf.astype(dtype)

@@ -64,9 +64,9 @@ def build_sharded_step(bundles: Sequence, tta_list: Sequence[str], patch: int,
         for bundle, variables in zip(bundles, variables_list):
             for chain in chains:
                 xt = tta_ops.apply_chain(x, chain)
-                p = bundle.apply(variables, xt)
+                p = bundle.apply_p1(variables, xt)   # (B, P, P), rank-3
                 inv = chain[-1] if chain else tta_ops.DEFAULT
-                preds.append(tta_ops.invert(p, inv)[..., 1])
+                preds.append(tta_ops.invert(p, inv))
         stack = jnp.stack(preds)
         mean = jnp.mean(stack, axis=0)
         var = jnp.var(stack, axis=0)

@@ -88,6 +88,27 @@ class TestDenseNetUNet:
         assert t1 == t2
 
 
+class TestBinaryHead:
+    """apply_p1 (rank-3 p(class 1)) equals apply(...)[..., 1] exactly for
+    every registered model — the engine consumes only class 1, and the
+    binary head avoids the TPU 128-lane channel padding at full resolution
+    (models/heads.py; ~39 ms/forward at tile 4096, tools/encoder_probe2.py).
+    """
+
+    @pytest.mark.parametrize("name", ["tiny", "oracle", "dense",
+                                      "inception", "deeplabv3"])
+    def test_matches_softmax_class1(self, name):
+        b = build_model(name, dtype=jnp.float32)
+        v = b.init(64)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        full = b.apply(v, x)
+        p1 = b.apply_p1(v, x)
+        assert p1.shape == full.shape[:-1]
+        np.testing.assert_allclose(np.asarray(p1),
+                                   np.asarray(full[..., 1]), atol=2e-5)
+
+
 class TestH5Converter:
     def _fake_keras_h5(self, path, variables):
         """Emit variables as a Keras-save_weights-layout h5 (inverse map)."""
