@@ -150,9 +150,10 @@ def bench_tile(names, tta, patch):
                 kw["fused_decoder"] = True
             if fused_stages:
                 kw["fused_stages"] = fused_stages
-            if os.environ.get("DPAI_BENCH_TRUNC") and n == "dense":
+            if os.environ.get("DPAI_BENCH_TRUNC"):
                 # measurement-only: drop the last N decoder stages' convs to
-                # attribute in-model per-stage cost (models/densenet_unet.py)
+                # attribute in-model per-stage cost (densenet_unet.py /
+                # inception_unet.py)
                 kw["trunc_last"] = int(os.environ["DPAI_BENCH_TRUNC"])
         return kw
 

@@ -42,6 +42,9 @@ class InceptionResNetV2UNet(nn.Module):
     # Pallas WHOLE-STAGE fusion (upsample+convA+convB per kernel) for the
     # LAST fused_stages decoder stages (inference, N=1; stage_fused.py)
     fused_stages: int = 0
+    # MEASUREMENT ONLY: drop the last N decoder stages' convs (replaced by
+    # upsample + channel slice) to attribute in-model per-stage cost.
+    trunc_last: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -203,6 +206,10 @@ class InceptionResNetV2UNet(nn.Module):
         # --- decoder (identical scheme to the DenseNet variant) ---
         stages = [(320, conv4), (256, conv3), (128, conv2), (96, conv1),
                   (64, None)]
+        trunc = int(self.trunc_last) if not train else 0
+        if trunc:
+            dropped = stages[-trunc:]
+            stages = stages[:-trunc]
         n_s2d = min(self.s2d_stages, len(stages)) if self.s2d_decoder else 0
         n_fs = 0
         if self.fused_stages and not train and n_s2d == 0 and x.shape[0] == 1:
@@ -259,6 +266,11 @@ class InceptionResNetV2UNet(nn.Module):
                 self.num_classes, self.dtype)
             return r[..., 1] if binary and self.num_classes == 2 else r
 
+        if trunc:
+            # stand-in for each dropped stage: tensor of the same shape and
+            # consumer structure, none of the stage's conv FLOPs
+            for feats, _ in dropped:
+                y = upsample2x(y)[..., :feats]
         if binary and self.num_classes == 2 and not train:
             from .heads import binary_p1
 

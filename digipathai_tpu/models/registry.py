@@ -32,13 +32,16 @@ class ModelBundle:
         return self.module.apply(variables, x, train=False)
 
     def apply_p1(self, variables, x):
-        """p(class 1) as a rank-3 (B, H, W) map — the engine's fast path.
+        """p(class 1) as a rank-3 (B, H, W) map — what the engine consumes.
 
-        Mathematically identical to ``apply(...)[..., 1]`` but skips the
-        (..., 2) full-resolution softmax whose minor axis the TPU tiled
-        layout pads to 128 lanes (~39 ms/forward at tile 4096 — see
-        models/heads.py). Same variables work for both entry points."""
-        return self.module.apply(variables, x, train=False, binary=True)
+        Implemented as the canonical softmax + slice: inside a jitted step
+        XLA DCEs the unused class and fuses the slice, and this MEASURES
+        FASTER in-model than the native rank-3 sigmoid head
+        (``module.apply(..., binary=True)``, models/heads.py): dense
+        539 -> 509, inception 479 -> 454 eq-pps at tile 4096 — the einsum
+        head denies XLA its conv+softmax fusion.  The native binary head
+        remains available and exactness-tested for experimentation."""
+        return self.module.apply(variables, x, train=False)[..., 1]
 
 
 def _build_dense(**kw) -> ModelBundle:
