@@ -54,7 +54,11 @@ def _capture_activations(model_name: str, h5_path: str, x, dtype=None):
     from digipathai_tpu.models.convert_h5 import keras_h5_to_flax
     from digipathai_tpu.models.registry import build_model
 
-    b = build_model(model_name, dtype=dtype or jnp.float32)
+    # canonical execution paths: the chunked encoder computes the same
+    # function but inlines the per-layer BN/conv math, so the Keras-named
+    # submodule outputs this tool mirrors would not be captured
+    kw = {"chunked_encoder": False} if "dense" in model_name else {}
+    b = build_model(model_name, dtype=dtype or jnp.float32, **kw)
     template = b.init(x.shape[1])
     variables = keras_h5_to_flax(h5_path, template)
 
@@ -70,6 +74,8 @@ def _capture_activations(model_name: str, h5_path: str, x, dtype=None):
             if k == "__call__":
                 if not prefix:  # root module output: reported as __output__
                     continue
+                if isinstance(v[0], (tuple, list)):
+                    continue  # parameter containers (ConvParams/BNParams)
                 # v is a tuple of outputs (one per call; names are unique)
                 acts[prefix.replace("__", "/")] = np.asarray(
                     v[0], dtype=np.float32)
