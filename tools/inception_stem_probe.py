@@ -55,11 +55,13 @@ def main():
         ("stem4_1x1_c80", side // 4, 64, 80, 1, 1),
         ("stem5_3x3_c192", side // 4, 80, 192, 3, 1),
     ]
+    import functools
+
     for tag, s, ci, co, kk, st in shapes:
         x = jax.random.normal(jax.random.fold_in(key, s * ci),
                               (1, s, s, ci), jnp.bfloat16)
         w = jax.random.normal(key, (kk, kk, ci, co), jnp.bfloat16) * 0.05
-        time_fn(conv, (x, w, (st, st)), iters, tag)
+        time_fn(functools.partial(conv, strides=(st, st)), (x, w), iters, tag)
 
     # one block35 at 544^2 x 320 and one block17 at 272^2 x 1088
     def block35(x, ws):
