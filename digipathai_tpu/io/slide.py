@@ -46,6 +46,15 @@ class Slide:
 
             self._r = NdpiReader(self.path)
             self._select_ndpi_pages()
+        elif (vendor := self._sniff_vendor(self.path)):
+            # Leica SCN / Philips TIFF / Ventana BIF: TIFF containers whose
+            # pyramid layout and pixel pitch live in vendor XML
+            # (io/vendor_tiff.py); the Python reader surfaces the needed
+            # tags (700/XMP, per-page descriptions, sparse tiles).
+            from . import tiff_py
+
+            self._r = tiff_py.TiffReader(self.path)
+            self._apply_vendor(vendor)
         else:
             self._r = open_tiff(self.path)
             if not self._r.pages:
@@ -74,6 +83,32 @@ class Slide:
                 return bool(r.pages) and 65420 in r.pages[0].tag_ids
         except (OSError, ValueError, struct.error):
             return False
+
+    @staticmethod
+    def _sniff_vendor(path: str) -> Optional[str]:
+        from .vendor_tiff import sniff_vendor_file
+
+        return sniff_vendor_file(path)
+
+    def _apply_vendor(self, vendor: str):
+        from . import vendor_tiff
+
+        self._vendor = vendor
+        if vendor == "leica":
+            level_ifds, associated, props = vendor_tiff.leica_layout(
+                self._r.pages)
+            self._page_index = level_ifds
+            self._pages = [self._r.pages[i] for i in level_ifds]
+            self._associated = associated
+            self._vendor_props = props
+            return
+        self._select_pages()
+        if vendor == "philips":
+            for p in self._r.pages:
+                p.sparse_fill = 255  # absent tiles are defined white
+            self._vendor_props = vendor_tiff.philips_props(self._r.pages)
+        else:  # ventana
+            self._vendor_props = vendor_tiff.ventana_props(self._r.pages)
 
     def _select_ndpi_pages(self):
         """NDPI pyramid = IFDs with SourceLens > 0, area-descending; the
@@ -179,6 +214,7 @@ class Slide:
             if "=" in part:
                 k, _, v = part.partition("=")
                 props[k.strip()] = v.strip()
+        props.update(getattr(self, "_vendor_props", {}) or {})
         if "mpp" not in props:
             # Aperio-style "MPP = 0.25" inside the description
             low = desc.lower()
@@ -294,6 +330,11 @@ class Slide:
                     return "hamamatsu"  # NDPI (io/ndpi.py)
                 if (p0.description or "").startswith("Aperio"):
                     return "aperio"
+                from .vendor_tiff import sniff_vendor
+
+                vendor = sniff_vendor(p0)
+                if vendor:
+                    return vendor  # leica / philips / ventana
                 return "generic-tiff"
         except (OSError, ValueError, struct.error):
             return None

@@ -38,6 +38,7 @@ TAG_BITS_PER_SAMPLE = 258
 TAG_COMPRESSION = 259
 TAG_PHOTOMETRIC = 262
 TAG_IMAGE_DESCRIPTION = 270
+TAG_XMP = 700  # XML packet; Ventana BIF stores its iScan metadata here
 TAG_STRIP_OFFSETS = 273
 TAG_SAMPLES_PER_PIXEL = 277
 TAG_ROWS_PER_STRIP = 278
@@ -181,6 +182,9 @@ class TiffPage:
     tag_ids: frozenset = frozenset()  # all tag ids present in the IFD
     lazy_tags: dict = field(default_factory=dict)  # tag -> (ftype, count, value_field)
     ndpi: dict = field(default_factory=dict)       # NDPI private tag values
+    xmp: bytes = b""          # tag 700 packet (Ventana iScan XML)
+    sparse_fill: int = 0      # fill value for absent tiles (offset/count 0);
+    # Philips TIFF omits background tiles and defines them as white
 
     @property
     def is_tiled(self) -> bool:
@@ -342,6 +346,8 @@ class TiffReader:
         )
         page.tag_ids = frozenset(tags) | frozenset(lazy)  # format sniffing
         page.lazy_tags = lazy
+        if TAG_XMP in tags:
+            page.xmp = bytes(tags[TAG_XMP])
         # Hamamatsu NDPI private tags (io/ndpi.py): SourceLens (65421,
         # magnification; -1 macro, -2 map) and the lens offsets.
         page.ndpi = {t: tags[t] for t in (65420, 65421, 65422, 65423)
@@ -480,8 +486,15 @@ class TiffReader:
                 self._tile_cache.move_to_end(key)
                 return cached
         page = self.pages[level]
-        data = self._pread(page.tile_offsets[idx], page.tile_counts[idx])
-        arr = self._decode_block(page, data, page.tile_height, page.tile_width)
+        if not page.tile_offsets[idx] or not page.tile_counts[idx]:
+            # Sparse tile (Philips TIFF drops background tiles: offset and
+            # byte count 0); render as the format's background color.
+            arr = np.full((page.tile_height, page.tile_width, page.samples),
+                          page.sparse_fill, page.dtype)
+        else:
+            data = self._pread(page.tile_offsets[idx], page.tile_counts[idx])
+            arr = self._decode_block(page, data, page.tile_height,
+                                     page.tile_width)
         if arr.shape[:2] != (page.tile_height, page.tile_width):
             full = np.zeros((page.tile_height, page.tile_width, arr.shape[2]), arr.dtype)
             full[:arr.shape[0], :arr.shape[1]] = arr

@@ -156,6 +156,213 @@ def make_svs_like_slide(path: str, width=1536, height=1024, seed=0,
     }
 
 
+def _write_multi_ifd_tiff(path, emitters):
+    """Write a classic little-endian TIFF whose IFDs come from ``emitters``:
+    each is called as ``emitter(f, builders)`` and appends one
+    ``tiff_py._IfdBuilder`` (shared chain-writing used by the vendor-format
+    fixtures below; same layout logic as make_svs_like_slide)."""
+    import struct
+
+    f = open(path, "wb")
+    f.write(struct.pack("<2sHI", b"II", 42, 0))
+    builders = []
+    for emit in emitters:
+        emit(f, builders)
+    prev_ptr_pos = 4
+    for b in builders:
+        if f.tell() % 2:
+            f.write(b"\0")
+        ifd_offset = f.tell()
+        next_ptr_pos = b.write(f)
+        end = f.tell()
+        f.seek(prev_ptr_pos)
+        f.write(struct.pack("<I", ifd_offset))
+        f.seek(end)
+        prev_ptr_pos = next_ptr_pos
+    f.close()
+
+
+def _tiled_emitter(arr, desc=None, tile=256, compression="jpeg", quality=92,
+                   sparse_white=False, extra_tags=()):
+    """Emitter for one tiled RGB page.  ``sparse_white=True`` omits tiles
+    that are entirely white (Philips convention: offset/bytecount 0)."""
+
+    def emit(f, builders):
+        from digipathai_tpu.io import tiff_py as T
+
+        h, w = arr.shape[:2]
+        offsets, counts = [], []
+        for ty in range(0, h, tile):
+            for tx in range(0, w, tile):
+                block = np.full((tile, tile, 3), 255, np.uint8)
+                sub = arr[ty:ty + tile, tx:tx + tile]
+                block[:sub.shape[0], :sub.shape[1]] = sub
+                if sparse_white and (block == 255).all():
+                    offsets.append(0)
+                    counts.append(0)
+                    continue
+                data = T._encode_tile(block, compression, quality)
+                offsets.append(f.tell())
+                counts.append(len(data))
+                f.write(data)
+        b = T._IfdBuilder()
+        b.add(T.TAG_IMAGE_WIDTH, 4, w)
+        b.add(T.TAG_IMAGE_LENGTH, 4, h)
+        b.add(T.TAG_BITS_PER_SAMPLE, 3, [8, 8, 8])
+        b.add(T.TAG_COMPRESSION, 3, T._COMP_TAG[compression])
+        b.add(T.TAG_PHOTOMETRIC, 3, T.PHOTOMETRIC_YCBCR
+              if compression == "jpeg" else T.PHOTOMETRIC_RGB)
+        b.add(T.TAG_SAMPLES_PER_PIXEL, 3, 3)
+        b.add(T.TAG_TILE_WIDTH, 3, tile)
+        b.add(T.TAG_TILE_LENGTH, 3, tile)
+        b.add(T.TAG_TILE_OFFSETS, 4, offsets)
+        b.add(T.TAG_TILE_BYTE_COUNTS, 4, counts)
+        if desc:
+            b.add(T.TAG_IMAGE_DESCRIPTION, 2, desc.encode() + b"\0")
+        for tag, ftype, val in extra_tags:
+            b.add(tag, ftype, val)
+        builders.append(b)
+
+    return emit
+
+
+def _stripped_emitter(arr, desc=None, extra_tags=()):
+    def emit(f, builders):
+        from digipathai_tpu.io import tiff_py as T
+
+        h, w = arr.shape[:2]
+        data = np.ascontiguousarray(arr).tobytes()
+        off = f.tell()
+        f.write(data)
+        b = T._IfdBuilder()
+        b.add(T.TAG_IMAGE_WIDTH, 4, w)
+        b.add(T.TAG_IMAGE_LENGTH, 4, h)
+        b.add(T.TAG_BITS_PER_SAMPLE, 3, [8, 8, 8])
+        b.add(T.TAG_COMPRESSION, 3, T.COMPRESSION_NONE)
+        b.add(T.TAG_PHOTOMETRIC, 3, T.PHOTOMETRIC_RGB)
+        b.add(T.TAG_SAMPLES_PER_PIXEL, 3, 3)
+        b.add(T.TAG_ROWS_PER_STRIP, 4, h)
+        b.add(T.TAG_STRIP_OFFSETS, 4, [off])
+        b.add(T.TAG_STRIP_BYTE_COUNTS, 4, [len(data)])
+        if desc:
+            b.add(T.TAG_IMAGE_DESCRIPTION, 2, desc.encode() + b"\0")
+        for tag, ftype, val in extra_tags:
+            b.add(tag, ftype, val)
+        builders.append(b)
+
+    return emit
+
+
+def make_scn_slide(path: str, width=1024, height=768, seed=0,
+                   mpp=0.5) -> dict:
+    """Write a Leica-SCN-convention TIFF (``io/vendor_tiff.py``): IFD 0 is
+    the collection macro carrying the ``<scn>`` XML whose ``image`` elements
+    map pyramid levels to explicit IFD indices; the main image's IFDs follow
+    (classic TIFF for fixture simplicity — the parser accepts both magics).
+
+    The macro is TILED (as on real scanners), so the generic area-sorted
+    page rule would interleave it with the main levels — the test asserts
+    the XML-driven selection instead.
+    """
+    img, tissue, lesion = render_he_like(width, height, seed)
+    levels = [img, img[::4, ::4].copy()]
+    macro = img[::2, ::2].copy()  # big tiled macro (area rule decoy)
+
+    # view/collection geometry in nm: main image covers a sub-rectangle
+    nm_per_px = mpp * 1000.0
+    coll_w, coll_h = int(3 * width * nm_per_px), int(3 * height * nm_per_px)
+    off_x, off_y = int(0.5 * width * nm_per_px), int(0.25 * height * nm_per_px)
+    xml = f"""<?xml version="1.0" encoding="utf-8"?>
+<scn xmlns="http://www.leica-microsystems.com/scn/2010/10/01">
+ <collection sizeX="{coll_w}" sizeY="{coll_h}">
+  <image name="macro">
+   <view sizeX="{coll_w}" sizeY="{coll_h}" offsetX="0" offsetY="0"/>
+   <pixels sizeX="{macro.shape[1]}" sizeY="{macro.shape[0]}">
+    <dimension sizeX="{macro.shape[1]}" sizeY="{macro.shape[0]}" r="0" ifd="0"/>
+   </pixels>
+  </image>
+  <image name="main">
+   <view sizeX="{int(width * nm_per_px)}" sizeY="{int(height * nm_per_px)}"
+         offsetX="{off_x}" offsetY="{off_y}"/>
+   <pixels sizeX="{width}" sizeY="{height}">
+    <dimension sizeX="{width}" sizeY="{height}" r="0" ifd="1"/>
+    <dimension sizeX="{levels[1].shape[1]}" sizeY="{levels[1].shape[0]}" r="1" ifd="2"/>
+   </pixels>
+   <scanSettings>
+    <objectiveSettings><objective>20</objective></objectiveSettings>
+   </scanSettings>
+  </image>
+ </collection>
+</scn>"""
+    _write_multi_ifd_tiff(path, [
+        _tiled_emitter(macro, desc=xml),
+        _tiled_emitter(levels[0]),
+        _tiled_emitter(levels[1]),
+    ])
+    return {"width": width, "height": height, "image": img, "mpp": mpp,
+            "levels": levels, "macro": macro,
+            "tissue_mask": tissue, "lesion_mask": lesion}
+
+
+def make_philips_slide(path: str, width=1024, height=768, seed=0,
+                       mpp=0.25) -> dict:
+    """Write a Philips-TIFF-convention file: DPUfsImport XML on IFD 0,
+    tiled pyramid with all-white background tiles OMITTED (offset/count 0,
+    defined white), stripped ``Macro``/``Label`` associated images."""
+    img, tissue, lesion = render_he_like(width, height, seed)
+    # force an all-white tile so the sparse path is actually exercised
+    img[:256, :256] = 255
+    levels = [img, img[::4, ::4].copy()]
+    macro = np.full((48, 128, 3), 200, np.uint8)
+    label = np.full((64, 96, 3), 30, np.uint8)
+    spacing_mm = mpp / 1000.0
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8" ?>'
+        '<DataObject ObjectType="DPUfsImport"><Attribute '
+        'Name="DICOM_PIXEL_SPACING" Group="0x0028" Element="0x0030" '
+        f'PMSVR="IDoubleArray">"{spacing_mm}" "{spacing_mm}"</Attribute>'
+        "</DataObject>"
+    )
+    _write_multi_ifd_tiff(path, [
+        _tiled_emitter(levels[0], desc=xml, sparse_white=True),
+        _tiled_emitter(levels[1], sparse_white=True),
+        _stripped_emitter(macro, desc="Macro"),
+        _stripped_emitter(label, desc="Label"),
+    ])
+    return {"width": width, "height": height, "image": img, "mpp": mpp,
+            "levels": levels, "macro": macro, "label": label,
+            "tissue_mask": tissue, "lesion_mask": lesion}
+
+
+def make_ventana_slide(path: str, width=1024, height=768, seed=0,
+                       mpp=0.465, magnification=20) -> dict:
+    """Write a Ventana-BIF-convention file: stripped thumbnail IFD 0
+    carrying the ``iScan`` XMP packet (tag 700), tiled pyramid levels, and
+    a stripped ``Label Image``."""
+    img, tissue, lesion = render_he_like(width, height, seed)
+    levels = [img, img[::4, ::4].copy()]
+    thumb = img[::8, ::8].copy()
+    label = np.full((64, 96, 3), 40, np.uint8)
+    xmp = (
+        '<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>'
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        f'<iScan ScanRes="{mpp}" Magnification="{magnification}" '
+        'UnitNumber="1" ScannerModel="VENTANA DP 200"/>'
+        "</rdf:RDF></x:xmpmeta><?xpacket end=\"w\"?>"
+    ).encode()
+    _write_multi_ifd_tiff(path, [
+        _stripped_emitter(thumb, desc="Thumbnail",
+                          extra_tags=[(700, 1, xmp)]),
+        _tiled_emitter(levels[0]),
+        _tiled_emitter(levels[1]),
+        _stripped_emitter(label, desc="Label Image"),
+    ])
+    return {"width": width, "height": height, "image": img, "mpp": mpp,
+            "levels": levels, "thumb": thumb, "label": label,
+            "tissue_mask": tissue, "lesion_mask": lesion}
+
+
 def _entropy_start(data: bytes) -> int:
     """Byte offset where a JPEG stream's entropy data begins (after SOS)."""
     pos = 2
