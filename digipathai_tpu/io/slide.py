@@ -30,6 +30,8 @@ class Slide:
         self.path = str(path)
         from .mirax import detect_mirax
 
+        from .hamamatsu import detect_vms
+
         if detect_mirax(self.path):
             # 3DHISTECH Mirax: directory format (io/mirax.py)
             from .mirax import MiraxReader
@@ -38,6 +40,16 @@ class Slide:
             self._pages = self._r.pages
             self._page_index = list(range(len(self._pages)))
             self._associated = {}
+        elif detect_vms(self.path):
+            # Hamamatsu VMS/VMU: INI index + JPEG/NGR payload files
+            # (io/hamamatsu.py); one level + map/macro associated images
+            from .hamamatsu import VmsReader
+
+            self._r = VmsReader(self.path)
+            self._pages = [self._r.pages[0]]
+            self._page_index = [0]
+            self._associated = {name: i + 1 for i, name in
+                                enumerate(self._r._assoc_files)}
         elif self._sniff_ndpi(self.path):
             # Hamamatsu NDPI: single-JPEG strips with restart-marker
             # random access need the dedicated reader (io/ndpi.py); the
@@ -101,6 +113,13 @@ class Slide:
             self._pages = [self._r.pages[i] for i in level_ifds]
             self._associated = associated
             self._vendor_props = props
+            return
+        if vendor == "trestle":
+            # wrap reads with per-level tile-overlap subtraction BEFORE
+            # page selection so level dimensions are the logical ones
+            self._r = vendor_tiff.TrestleReader(self._r)
+            self._select_pages()
+            self._vendor_props = vendor_tiff.trestle_props(self._r.pages)
             return
         self._select_pages()
         if vendor == "philips":
@@ -307,9 +326,10 @@ class Slide:
         ``"generic-tiff"``.
         """
         try:
+            from .hamamatsu import detect_vms
             from .mirax import detect_mirax
 
-            m = detect_mirax(path)
+            m = detect_mirax(path) or detect_vms(path)
             if m:
                 return m
             if os.path.getsize(path) < 8:

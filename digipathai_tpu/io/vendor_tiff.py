@@ -1,4 +1,5 @@
-"""Vendor-flavored TIFF slide formats: Leica SCN, Philips TIFF, Ventana BIF.
+"""Vendor-flavored TIFF slide formats: Leica SCN, Philips TIFF, Ventana BIF,
+Trestle TIFF.
 
 The reference opens these through OpenSlide's format drivers (any slide
 ``OpenSlide.detect_format`` accepts — ``reference
@@ -28,6 +29,13 @@ differ from generic pyramidal TIFF only in *metadata interpretation*:
   overlap correction is out of scope — levels are read as stored, which is
   what several open readers do; documented in PARITY.md.)
 
+- **Trestle TIFF** (``.tif``): tiled pyramid whose IFD-0 ImageDescription
+  is a ``;``-separated key=value list including ``OverlapsXY=ox0 oy0 ox1
+  oy1 …`` — per-level pixel overlaps between adjacent tiles.  Logical level
+  size is the stored size minus ``overlap x (tiles-1)`` per axis; a logical
+  pixel in an overlap band shows the LATER tile's pixels (tiles painted in
+  ascending order, as OpenSlide's trestle driver does).
+
 Caveat (as for MRXS, io/mirax.py): no real scanner output exists in this
 offline environment, so the layouts are validated against self-authored
 fixtures (``tests/fixtures.py``) that follow the documented structures.
@@ -55,6 +63,8 @@ def sniff_vendor(page0) -> Optional[str]:
     xmp = page0.xmp or b""
     if b"iScan" in xmp or "iScan" in desc:
         return "ventana"
+    if "OverlapsXY=" in desc:
+        return "trestle"
     return None
 
 
@@ -165,6 +175,103 @@ def ventana_props(pages) -> dict:
             props["openslide.objective-power"] = float(m.group(1))
         except ValueError:
             pass
+    return props
+
+
+# -- Trestle TIFF -------------------------------------------------------------
+
+
+class _TrestlePage:
+    """Page view with the tile overlaps subtracted from the logical size."""
+
+    def __init__(self, page, ox: int, oy: int):
+        self._page = page
+        self.overlap = (ox, oy)
+        tw, th = page.tile_width, page.tile_height
+        ncols = -(-page.width // tw) if tw else 1
+        nrows = -(-page.height // th) if th else 1
+        self.width = page.width - ox * max(0, ncols - 1)
+        self.height = page.height - oy * max(0, nrows - 1)
+        for attr in ("tile_width", "tile_height", "description",
+                     "compression", "tag_ids", "x_resolution",
+                     "resolution_unit"):
+            setattr(self, attr, getattr(page, attr, None))
+
+
+class TrestleReader:
+    """TiffReader wrapper applying Trestle per-level tile overlaps.
+
+    Tile c's logical origin is ``c * (tile - overlap)``; tiles are painted
+    ascending so overlap bands show the later tile (OpenSlide behavior).
+    Non-tiled pages (label/macro) pass through unchanged.
+    """
+
+    def __init__(self, reader):
+        self._r = reader
+        desc = reader.pages[0].description or ""
+        ov: List[int] = []
+        for part in desc.split(";"):
+            k, _, v = part.partition("=")
+            if k.strip() == "OverlapsXY":
+                ov = [int(t) for t in v.split()]
+        self.properties = dict(getattr(reader, "properties", {}) or {})
+        tiled = 0
+        self.pages = []
+        for p in reader.pages:
+            if p.tile_width:
+                ox = ov[2 * tiled] if 2 * tiled < len(ov) else 0
+                oy = ov[2 * tiled + 1] if 2 * tiled + 1 < len(ov) else 0
+                self.pages.append(_TrestlePage(p, ox, oy))
+                tiled += 1
+            else:
+                self.pages.append(p)
+
+    def read_region(self, idx: int, x: int, y: int, w: int,
+                    h: int):
+        import numpy as np
+
+        page = self.pages[idx]
+        if not isinstance(page, _TrestlePage):
+            return self._r.read_region(idx, x, y, w, h)
+        base = page._page
+        ox, oy = page.overlap
+        tw, th = base.tile_width, base.tile_height
+        ax, ay = tw - ox, th - oy
+        out = None
+        tc0, tc1 = max(0, x) // ax, max(0, x + w - 1) // ax
+        tr0, tr1 = max(0, y) // ay, max(0, y + h - 1) // ay
+        ncols, nrows = -(-base.width // tw), -(-base.height // th)
+        for tr in range(tr0, min(tr1, nrows - 1) + 1):
+            for tc in range(tc0, min(tc1, ncols - 1) + 1):
+                # logical tile span [tc*ax, tc*ax + tw) — intersect request
+                lx0, ly0 = max(x, tc * ax), max(y, tr * ay)
+                lx1 = min(x + w, tc * ax + tw, page.width)
+                ly1 = min(y + h, tr * ay + th, page.height)
+                if lx0 >= lx1 or ly0 >= ly1:
+                    continue
+                sub = self._r.read_region(
+                    idx, tc * tw + (lx0 - tc * ax),
+                    tr * th + (ly0 - tr * ay), lx1 - lx0, ly1 - ly0)
+                if out is None:
+                    out = np.zeros((h, w) + sub.shape[2:], sub.dtype)
+                out[ly0 - y:ly1 - y, lx0 - x:lx1 - x] = sub
+        if out is None:
+            out = np.zeros((h, w, 3), "uint8")
+        return out
+
+    def close(self):
+        self._r.close()
+
+
+def trestle_props(pages) -> dict:
+    """``;``-separated key=value pairs from IFD-0 (OpenSlide exposes them
+    as ``trestle.*``); no mpp is recorded — resolution tags provide it."""
+    desc = pages[0].description or ""
+    props: dict = {}
+    for part in desc.split(";"):
+        k, _, v = part.partition("=")
+        if "=" in part and k.strip():
+            props[f"trestle.{k.strip()}"] = v.strip()
     return props
 
 

@@ -363,6 +363,109 @@ def make_ventana_slide(path: str, width=1024, height=768, seed=0,
             "tissue_mask": tissue, "lesion_mask": lesion}
 
 
+def make_trestle_slide(path: str, ncols=8, nrows=6, tile=128, overlap=16,
+                       seed=0, mpp=0.5) -> dict:
+    """Write a Trestle-convention TIFF (``io/vendor_tiff.py``): tiled
+    pyramid whose stored tiles OVERLAP by ``overlap`` px (adjacent tiles
+    re-store each other's edge bands), declared via ``OverlapsXY=`` in the
+    ``;``-separated IFD-0 description.  Logical size = stored size minus
+    the overlaps; the fixture duplicates bands exactly so any-tile-wins
+    reconstruction equals the logical image bit-for-bit."""
+    adv = tile - overlap
+    width = ncols * tile - overlap * (ncols - 1)
+    height = nrows * tile - overlap * (nrows - 1)
+    img, tissue, lesion = render_he_like(width, height, seed)
+    sx = np.arange(ncols * tile)
+    lx = (sx // tile) * adv + sx % tile
+    sy = np.arange(nrows * tile)
+    ly = (sy // tile) * adv + sy % tile
+    stored = img[ly][:, lx]
+    level1 = img[::4, ::4].copy()  # downsamples carry no overlaps
+    desc = (f"Trestle Corp.;OverlapsXY={overlap} {overlap} 0 0;"
+            "Objective Power=20;Background Color=FFFFFF")
+    _write_multi_ifd_tiff(path, [
+        # deflate (lossless) so overlap-band reconstruction is bit-exact
+        _tiled_emitter(stored, desc=desc, tile=tile, compression="deflate"),
+        _tiled_emitter(level1, tile=tile, compression="deflate"),
+    ])
+    return {"width": width, "height": height, "image": img, "mpp": mpp,
+            "stored_size": (ncols * tile, nrows * tile), "level1": level1,
+            "tissue_mask": tissue, "lesion_mask": lesion}
+
+
+def make_vms_slide(path: str, width=1024, height=512, seed=0, mpp=0.46,
+                   columns=2, restart_rows=1) -> dict:
+    """Write a Hamamatsu-VMS-convention slide (``io/hamamatsu.py``): the
+    ``.vms`` INI index plus sibling JPEG column files (DRI restart markers,
+    like real scanners), a MapFile and a MacroImage."""
+    import os
+
+    from PIL import Image
+
+    assert width % columns == 0
+    img, tissue, lesion = render_he_like(width, height, seed)
+    base = os.path.dirname(os.path.abspath(str(path)))
+    stem = os.path.splitext(os.path.basename(str(path)))[0]
+    colw = width // columns
+    lines = ["[Virtual Microscope Specimen]", "NoLayers=1",
+             f"NoJpegColumns={columns}", "NoJpegRows=1"]
+    for c in range(columns):
+        name = f"{stem}_c{c}.jpg"
+        Image.fromarray(img[:, c * colw:(c + 1) * colw]).save(
+            os.path.join(base, name), "jpeg", quality=92,
+            restart_marker_rows=restart_rows)
+        lines.append(("ImageFile=" if c == 0 else f"ImageFile({c})=") + name)
+    map_img = img[::8, ::8].copy()
+    Image.fromarray(map_img).save(os.path.join(base, f"{stem}_map.jpg"),
+                                  "jpeg", quality=85)
+    macro = np.full((48, 128, 3), 210, np.uint8)
+    Image.fromarray(macro).save(os.path.join(base, f"{stem}_macro.jpg"),
+                                "jpeg", quality=85)
+    lines += [f"MapFile={stem}_map.jpg", f"MacroImage={stem}_macro.jpg",
+              f"PhysicalWidth={int(width * mpp * 1000)}",
+              f"PhysicalHeight={int(height * mpp * 1000)}",
+              "LayerSpacing=0.0"]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return {"width": width, "height": height, "image": img, "mpp": mpp,
+            "map": map_img, "macro": macro,
+            "tissue_mask": tissue, "lesion_mask": lesion}
+
+
+def make_vmu_slide(path: str, width=512, height=256, seed=0, mpp=0.46,
+                   col_width=128) -> dict:
+    """Write a Hamamatsu-VMU-convention slide: INI index + one NGR raw file
+    (GN magic, 16-bit RGB, column-block-major — io/hamamatsu.py)."""
+    import os
+    import struct
+
+    assert width % col_width == 0
+    img, tissue, lesion = render_he_like(width, height, seed)
+    img16 = (img.astype(np.uint16) << 8) | img  # high byte carries the pixel
+    base = os.path.dirname(os.path.abspath(str(path)))
+    stem = os.path.splitext(os.path.basename(str(path)))[0]
+    ngr = os.path.join(base, f"{stem}_img.ngr")
+    data_off = 64
+    with open(ngr, "wb") as f:
+        f.write(b"GN\0\0")
+        f.write(struct.pack("<iii", width, height, col_width))
+        f.write(b"\0" * 8)  # offsets 16..23 unused
+        f.write(struct.pack("<i", data_off))
+        f.write(b"\0" * (data_off - f.tell()))
+        for cb in range(width // col_width):
+            block = img16[:, cb * col_width:(cb + 1) * col_width]
+            f.write(np.ascontiguousarray(block.astype("<u2")).tobytes())
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join([
+            "[Uncompressed Virtual Microscope Specimen]", "NoLayers=1",
+            f"ImageFile={stem}_img.ngr",
+            f"PhysicalWidth={int(width * mpp * 1000)}",
+            f"PhysicalHeight={int(height * mpp * 1000)}",
+        ]) + "\n")
+    return {"width": width, "height": height, "image": img, "mpp": mpp,
+            "tissue_mask": tissue, "lesion_mask": lesion}
+
+
 def _entropy_start(data: bytes) -> int:
     """Byte offset where a JPEG stream's entropy data begins (after SOS)."""
     pos = 2

@@ -13,7 +13,7 @@ import pytest
 from digipathai_tpu.io.slide import Slide
 
 from tests.fixtures import (make_philips_slide, make_scn_slide,
-                            make_ventana_slide)
+                            make_trestle_slide, make_ventana_slide)
 
 
 @pytest.fixture(scope="module")
@@ -123,6 +123,47 @@ class TestVentana:
             r = s.read_region((128, 64), 0, (256, 200))
             ref = meta["image"][64:264, 128:384]
             assert np.abs(r.astype(int) - ref.astype(int)).mean() < 8
+
+
+@pytest.fixture(scope="module")
+def trestle(tmp_path_factory):
+    d = tmp_path_factory.mktemp("trestle")
+    p = d / "fix.tif"
+    meta = make_trestle_slide(str(p))
+    return str(p), meta
+
+
+class TestTrestle:
+    def test_detect(self, trestle):
+        assert Slide.detect_format(trestle[0]) == "trestle"
+
+    def test_overlap_subtracted_dimensions(self, trestle):
+        path, meta = trestle
+        with Slide(path) as s:
+            # logical size, NOT the stored (overlapping-tiles) size
+            assert s.dimensions == (meta["width"], meta["height"])
+            assert s.dimensions != meta["stored_size"]
+            assert s.level_count == 2
+
+    def test_overlap_aware_reads_are_exact(self, trestle):
+        """The fixture duplicates overlap bands losslessly, so overlap-aware
+        reassembly must reproduce the logical image bit-for-bit — including
+        regions spanning tile seams and the image edges."""
+        path, meta = trestle
+        with Slide(path) as s:
+            whole = s.read_region((0, 0), 0, s.dimensions)
+            np.testing.assert_array_equal(whole, meta["image"])
+            # a window centered on a seam (tile 128, advance 112)
+            r = s.read_region((100, 100), 0, (64, 64))
+            np.testing.assert_array_equal(
+                r, meta["image"][100:164, 100:164])
+            # level 1 has no overlaps: plain read
+            lvl1 = s.read_region((0, 0), 1, s.level_dimensions[1])
+            np.testing.assert_array_equal(lvl1, meta["level1"])
+
+    def test_properties(self, trestle):
+        with Slide(trestle[0]) as s:
+            assert s.properties.get("trestle.Objective Power") == "20"
 
 
 def test_server_lists_and_serves_vendor_formats(tmp_path):
