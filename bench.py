@@ -136,6 +136,13 @@ def bench_tile(names, tta, patch):
     # run the TTA forwards B at a time (batched convs run at ~2x the MXU
     # efficiency of batch-1 giant-spatial ones — round-3 decomposition)
     ttab = int(os.environ.get("DPAI_BENCH_TTAB", 1))
+    # route the first N dense blocks' 3x3 convs through the strip-DMA
+    # Pallas kernel w/ fused pre-activation (densenet_unet.pallas_blocks)
+    pblocks = int(os.environ.get("DPAI_BENCH_PBLOCKS", 0))
+    # A/B the packed parallel 1x1 branch heads (inception_unet.packed_heads)
+    pheads = int(os.environ.get("DPAI_BENCH_PHEADS", -1))
+    # A/B the progressive decoder halo crop (models' halo_crop; exact)
+    hcrop = int(os.environ.get("DPAI_BENCH_HCROP", -1))
 
     def model_kw(n):
         kw = {"quantized": True} if quant else {}
@@ -150,6 +157,12 @@ def bench_tile(names, tta, patch):
                 kw["fused_decoder"] = True
             if fused_stages:
                 kw["fused_stages"] = fused_stages
+            if pblocks and n == "dense":
+                kw["pallas_blocks"] = pblocks
+            if pheads >= 0 and n == "inception":
+                kw["packed_heads"] = bool(pheads)
+            if hcrop > 0:
+                kw["halo_crop"] = halo
             if os.environ.get("DPAI_BENCH_TRUNC"):
                 # measurement-only: drop the last N decoder stages' convs to
                 # attribute in-model per-stage cost (densenet_unet.py /

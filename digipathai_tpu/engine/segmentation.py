@@ -107,6 +107,7 @@ def getSegmentation(img_path,
                     inference_mode: str = "patch",
                     tile_local_aspp: bool = True,
                     spatial_shard="auto",
+                    decoder_halo_crop: bool = False,
                     s2d_decoder: bool = False,
                     wpack: bool = False,
                     fused_stages: int = 0,
@@ -169,6 +170,12 @@ def getSegmentation(img_path,
             # opt-in int8 inference for the wide convs (models/quant.py);
             # measured probability-map deviation recorded in PARITY.md
             kw["quantized"] = True
+        if (decoder_halo_crop and inference_mode == "tile"
+                and name in ("dense", "inception")):
+            # progressive decoder halo cropping (exact; models' halo_crop):
+            # the engine discards the halo fringe, so the U-Net decoders
+            # never compute it above the bottleneck
+            kw["halo_crop"] = patch_size // 2
         b = build_model(name, dtype=compute_dtype, **kw)
         bundles.append(b)
         if name in _ENSEMBLE:

@@ -40,14 +40,17 @@ def _make_raw_tile_step(bundles: Sequence, tta_list: Sequence[str],
             for chain in chains:
                 xt = tta_ops.apply_chain(x, chain)
                 p = bundle.apply_p1(variables, xt)   # (1, H, W), rank-3
+                # center-crop the halo (a no-op margin when the model
+                # already cropped it via halo_crop); a center crop of a
+                # square commutes with every dihedral TTA inversion
+                ch = (p.shape[-1] - tile) // 2
+                if ch:
+                    p = p[:, ch:-ch, ch:-ch]
                 inv = chain[-1] if chain else tta_ops.DEFAULT
                 preds.append(tta_ops.invert(p, inv)[0])
         stack = jnp.stack(preds)
         mean = jnp.mean(stack, axis=0)
         var = jnp.var(stack, axis=0)
-        if halo:
-            mean = mean[halo:-halo, halo:-halo]
-            var = var[halo:-halo, halo:-halo]
         return mean.astype(jnp.float32), var.astype(jnp.float32)
 
     return step
@@ -107,8 +110,11 @@ def build_model_tile_steps(bundles: Sequence, tta_list: Sequence[str],
 
             def body(_, xt):
                 p = bundle.apply_p1(variables, xt)   # (B, H, W), rank-3
-                if halo:
-                    p = p[:, halo:-halo, halo:-halo]
+                # crop whatever halo margin the model didn't already crop
+                # itself (halo_crop models return the tile interior)
+                ch = (p.shape[-1] - tile) // 2
+                if ch:
+                    p = p[:, ch:-ch, ch:-ch]
                 return 0, p.astype(jnp.float32)
 
             hw = tile

@@ -64,6 +64,22 @@ class DenseNet121UNet(nn.Module):
     # (tools/encoder_probe.py, round 3).  Canonical path in train mode
     # (BN batch stats) and under quantization.
     chunked_encoder: bool = True
+    # Run the 3x3 convs of the FIRST pallas_blocks dense blocks through the
+    # strip-DMA Pallas kernel with the pre-activation (BN-affine+relu) fused
+    # into the strip load (ops/pallas/conv_fused.py).  The narrow-N
+    # (C_out=32) encoder convs are the in-model MXU-efficiency sink
+    # (BASELINE.md round-3 attribution); boundaries sit at the 128-ch
+    # bottleneck tensors so no relayout tax applies.  Inference-only, N=1.
+    pallas_blocks: int = 0
+    # Tile-mode halo (px at full res, multiple of 32, >= 64): crop decoder
+    # feature maps progressively so the halo fringe — whose outputs the
+    # engine discards — is never computed above the bottleneck.  Receptive-
+    # field-exact: each stage keeps margin >= 2 before its upsample (one px
+    # per 3x3 conv), so the returned (H-2*halo_crop)^2 output is
+    # bit-identical to the canonical forward's center crop.  Saves ~10% of
+    # the two most expensive (highest-res) decoder stages at halo 128 /
+    # tile 4096.  Inference only; 0 disables (patch mode).
+    halo_crop: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -90,12 +106,12 @@ class DenseNet121UNet(nn.Module):
                      name=f"{name}_2_conv")(y)
             return jnp.concatenate([x, y], axis=-1)
 
-        def dense_block(x, n, name):
+        def dense_block(x, n, name, use_pallas=False):
             for i in range(n):
                 x = dense_layer(x, f"{name}_block{i + 1}")
             return x
 
-        def dense_block_chunked(x, n, name):
+        def dense_block_chunked(x, n, name, use_pallas=False):
             """Exact chunked execution of ``dense_block`` (inference only).
 
             Same parameter tree (names/shapes/collections identical to the
@@ -141,11 +157,19 @@ class DenseNet121UNet(nn.Module):
                     off += c
                 mul1, add1 = BNParams(4 * self.growth, epsilon=BN_EPS_DENSE,
                                       name=f"{ln}_1_bn")()
-                h = nn.relu(acc * mul1.astype(dt) + add1.astype(dt))
                 k2, _ = ConvParams((3, 3, 4 * self.growth, self.growth),
                                    kernel_init=lecun, use_bias=False,
                                    name=f"{ln}_2_conv")()
-                pend.append(conv_p(h, k2))
+                if use_pallas and x.shape[0] == 1:
+                    # pre-activation + 3x3 in one strip-DMA Pallas kernel;
+                    # exact (same bf16 elementwise + f32-accumulated conv)
+                    from ..ops.pallas.conv_fused import fused_conv3x3
+
+                    pend.append(fused_conv3x3(acc, k2, relu=False,
+                                              pre_mul=mul1, pre_add=add1))
+                else:
+                    h = nn.relu(acc * mul1.astype(dt) + add1.astype(dt))
+                    pend.append(conv_p(h, k2))
                 if sum(t.shape[-1] for t in pend) >= 128:
                     chunks.append(jnp.concatenate(pend, axis=-1))
                     pend = []
@@ -213,16 +237,17 @@ class DenseNet121UNet(nn.Module):
         conv1 = y
         y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="VALID")
-        y = dense_block(y, self.blocks[0], "conv2")
+        npb = int(self.pallas_blocks) if not train else 0
+        y = dense_block(y, self.blocks[0], "conv2", use_pallas=npb >= 1)
         conv2 = y
         y = transition(y, "pool2")
-        y = dense_block(y, self.blocks[1], "conv3")
+        y = dense_block(y, self.blocks[1], "conv3", use_pallas=npb >= 2)
         conv3 = y
         y = transition(y, "pool3")
-        y = dense_block(y, self.blocks[2], "conv4")
+        y = dense_block(y, self.blocks[2], "conv4", use_pallas=npb >= 3)
         conv4 = y
         y = transition(y, "pool4")
-        y = dense_block(y, self.blocks[3], "conv5")
+        y = dense_block(y, self.blocks[3], "conv5", use_pallas=npb >= 4)
         y = bn(epsilon=BN_EPS_DENSE, name="bn")(y)
         conv5 = y  # note: no relu after 'bn', faithful to the reference
 
@@ -265,12 +290,39 @@ class DenseNet121UNet(nn.Module):
                 y.astype(self.dtype), ka, ba, ma, aa, kb, bb, mb, ab,
                 None if skip is None else skip.astype(self.dtype))
 
+        hc = int(self.halo_crop)
+        if (train or trunc or n_s2d or n_fs or self.wpack
+                or self.fused_decoder or hc % 32 or hc < 64):
+            hc = 0
+        fresh = x.shape[1] - 2 * hc
+
+        def crop_to(y, margin, scale):
+            # center-crop toward (fresh/scale + 2*margin); margins >= the
+            # remaining ops' receptive field keep the output exact.  Crops
+            # are floored to multiples of 8 so every dim stays 16-aligned
+            # (odd-dim slices measured -2.8% in-model: they break XLA's
+            # (16,128) tiling and the upsample->conv input fusion); the
+            # final margin=0 crop is exact by construction.
+            cur = (y.shape[1] - fresh // scale) // 2
+            c = cur if margin == 0 else (cur - margin) // 8 * 8
+            return y[:, c:-c, c:-c, :] if c > 0 else y
+
         y = conv5
-        for feats, skip in stages[:len(stages) - n_s2d - n_fs]:
+        scale = 32
+        for i, (feats, skip) in enumerate(
+                stages[:len(stages) - n_s2d - n_fs]):
+            if hc:
+                y = crop_to(y, 2, scale)
+            scale //= 2
             y = conv_block(upsample2x(y), feats)
             if skip is not None:
+                if hc:
+                    skip = crop_to(skip, (y.shape[1] - fresh // scale) // 2,
+                                   scale)
                 y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
             y = conv_block(y, feats)
+        if hc:
+            y = crop_to(y, 0, 1)
         for feats, skip in stages[len(stages) - n_fs:]:
             y = fused_stage(y, feats, skip)
 

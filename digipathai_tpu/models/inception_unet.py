@@ -37,6 +37,17 @@ class InceptionResNetV2UNet(nn.Module):
     quantized: bool = False
     # exact width-packed decoder convs (opt-in, see ops/wpack.py)
     wpack: bool = False
+    # Pack parallel 1x1 branch heads (which share one input) into a single
+    # conv: kernels concatenated along C_out, folded BN affines applied to
+    # the packed output, then split.  Bit-compatible parameter tree (same
+    # Keras names via ConvParams/BNParams declared in namer order) and the
+    # same per-channel dots, so checkpoints and outputs are unchanged; the
+    # win is MXU lane utilization — three 1x1->32 heads run at 32/128 lanes
+    # each, the packed 1x1->96 at 96/128 (block35; similarly block17/8,
+    # mixed_5b/7a).  Inference only; canonical path under train/quantized.
+    # Measured +2.2% in-model (486.7 vs 476.3 eq-pps, tile 4096, v5e) —
+    # the inference default.
+    packed_heads: bool = True
     # Pallas fused decoder convs (opt-in, inference only; conv_fused.py)
     fused_decoder: bool = False
     # Pallas WHOLE-STAGE fusion (upsample+convA+convB per kernel) for the
@@ -45,6 +56,11 @@ class InceptionResNetV2UNet(nn.Module):
     # MEASUREMENT ONLY: drop the last N decoder stages' convs (replaced by
     # upsample + channel slice) to attribute in-model per-stage cost.
     trunc_last: int = 0
+    # Tile-mode halo (px at full res, multiple of 32, >= 64): crop decoder
+    # feature maps progressively so the discarded halo fringe is never
+    # computed above the bottleneck — receptive-field-exact, see
+    # densenet_unet.DenseNet121UNet.halo_crop.  Inference only; 0 disables.
+    halo_crop: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -74,27 +90,97 @@ class InceptionResNetV2UNet(nn.Module):
                 y = nn.relu(y)
             return y
 
+        use_pack = (self.packed_heads and not train and not self.quantized
+                    and not self.wpack)
+
+        def cb(cin, filters, kernel=1):
+            """Declare one encoder conv+BN param set — byte-compatible with
+            the ``conv2d_bn`` tree (ConvParams/BNParams at the same namer
+            positions) — and return (kernel, folded BN mul, add)."""
+            from .s2d_decoder import BNParams, ConvParams
+
+            if isinstance(kernel, int):
+                kernel = (kernel, kernel)
+            k, _ = ConvParams(kernel + (cin, filters),
+                              kernel_init=nn.initializers.lecun_normal(),
+                              use_bias=False, name=namer.conv())()
+            m, a = BNParams(filters, epsilon=BN_EPS, use_scale=False,
+                            name=namer.bn())()
+            return k, m, a
+
+        def _enc_conv(x, k, strides=(1, 1)):
+            import jax.lax as lax
+
+            return lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype), strides, "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
+
+        def cb_apply(x, p, strides=1):
+            k, m, a = p
+            y = _enc_conv(x, k, (strides, strides))
+            return nn.relu(y * m.astype(y.dtype) + a.astype(y.dtype))
+
+        def cb_packed(x, ps):
+            """k parallel 1x1 heads sharing input ``x`` as ONE conv: kernels
+            concatenated along C_out (each output channel keeps its own dot,
+            so per-channel results match the unpacked convs), folded BN
+            affine + relu on the packed tensor, split back per head."""
+            k = jnp.concatenate([p[0] for p in ps], axis=-1)
+            m = jnp.concatenate([p[1] for p in ps])
+            a = jnp.concatenate([p[2] for p in ps])
+            y = nn.relu(_enc_conv(x, k) * m.astype(self.dtype)
+                        + a.astype(self.dtype))
+            outs, off = [], 0
+            for p in ps:
+                f = p[0].shape[-1]
+                outs.append(y[..., off:off + f])
+                off += f
+            return outs
+
         def block35(x, scale, idx):
-            b0 = conv2d_bn(x, 32, 1)
-            b1 = conv2d_bn(x, 32, 1)
-            b1 = conv2d_bn(b1, 32, 3)
-            b2 = conv2d_bn(x, 32, 1)
-            b2 = conv2d_bn(b2, 48, 3)
-            b2 = conv2d_bn(b2, 64, 3)
+            if use_pack:
+                c = x.shape[-1]
+                p0, p1h, p1b = cb(c, 32), cb(c, 32), cb(32, 32, 3)
+                p2h, p2b, p2c = cb(c, 32), cb(32, 48, 3), cb(48, 64, 3)
+                b0, b1, b2 = cb_packed(x, [p0, p1h, p2h])
+                b1 = cb_apply(b1, p1b)
+                b2 = cb_apply(cb_apply(b2, p2b), p2c)
+            else:
+                b0 = conv2d_bn(x, 32, 1)
+                b1 = conv2d_bn(x, 32, 1)
+                b1 = conv2d_bn(b1, 32, 3)
+                b2 = conv2d_bn(x, 32, 1)
+                b2 = conv2d_bn(b2, 48, 3)
+                b2 = conv2d_bn(b2, 64, 3)
             return _residual(x, [b0, b1, b2], scale, f"block35_{idx}")
 
         def block17(x, scale, idx):
-            b0 = conv2d_bn(x, 192, 1)
-            b1 = conv2d_bn(x, 128, 1)
-            b1 = conv2d_bn(b1, 160, (1, 7))
-            b1 = conv2d_bn(b1, 192, (7, 1))
+            if use_pack:
+                c = x.shape[-1]
+                p0, p1h = cb(c, 192), cb(c, 128)
+                p1m, p1e = cb(128, 160, (1, 7)), cb(160, 192, (7, 1))
+                b0, b1 = cb_packed(x, [p0, p1h])
+                b1 = cb_apply(cb_apply(b1, p1m), p1e)
+            else:
+                b0 = conv2d_bn(x, 192, 1)
+                b1 = conv2d_bn(x, 128, 1)
+                b1 = conv2d_bn(b1, 160, (1, 7))
+                b1 = conv2d_bn(b1, 192, (7, 1))
             return _residual(x, [b0, b1], scale, f"block17_{idx}")
 
         def block8(x, scale, idx, activation="relu"):
-            b0 = conv2d_bn(x, 192, 1)
-            b1 = conv2d_bn(x, 192, 1)
-            b1 = conv2d_bn(b1, 224, (1, 3))
-            b1 = conv2d_bn(b1, 256, (3, 1))
+            if use_pack:
+                c = x.shape[-1]
+                p0, p1h = cb(c, 192), cb(c, 192)
+                p1m, p1e = cb(192, 224, (1, 3)), cb(224, 256, (3, 1))
+                b0, b1 = cb_packed(x, [p0, p1h])
+                b1 = cb_apply(cb_apply(b1, p1m), p1e)
+            else:
+                b0 = conv2d_bn(x, 192, 1)
+                b1 = conv2d_bn(x, 192, 1)
+                b1 = conv2d_bn(b1, 224, (1, 3))
+                b1 = conv2d_bn(b1, 256, (3, 1))
             return _residual(x, [b0, b1], scale, f"block8_{idx}", activation)
 
         def _residual(x, branches, scale, name, activation="relu"):
@@ -157,12 +243,20 @@ class InceptionResNetV2UNet(nn.Module):
         y = maxpool_same(y)
 
         # --- mixed_5b ---
-        b0 = conv2d_bn(y, 96, 1)
-        b1 = conv2d_bn(y, 48, 1)
-        b1 = conv2d_bn(b1, 64, 5)
-        b2 = conv2d_bn(y, 64, 1)
-        b2 = conv2d_bn(b2, 96, 3)
-        b2 = conv2d_bn(b2, 96, 3)
+        if use_pack:
+            c = y.shape[-1]
+            p0, p1h, p1b = cb(c, 96), cb(c, 48), cb(48, 64, 5)
+            p2h, p2b, p2c = cb(c, 64), cb(64, 96, 3), cb(96, 96, 3)
+            b0, b1, b2 = cb_packed(y, [p0, p1h, p2h])
+            b1 = cb_apply(b1, p1b)
+            b2 = cb_apply(cb_apply(b2, p2b), p2c)
+        else:
+            b0 = conv2d_bn(y, 96, 1)
+            b1 = conv2d_bn(y, 48, 1)
+            b1 = conv2d_bn(b1, 64, 5)
+            b2 = conv2d_bn(y, 64, 1)
+            b2 = conv2d_bn(b2, 96, 3)
+            b2 = conv2d_bn(b2, 96, 3)
         # TF average pooling excludes padded cells from the mean
         bp = nn.avg_pool(y, (3, 3), strides=(1, 1), padding="SAME",
                          count_include_pad=False)
@@ -186,13 +280,23 @@ class InceptionResNetV2UNet(nn.Module):
         conv4 = y
 
         # --- mixed_7a ---
-        b0 = conv2d_bn(y, 256, 1)
-        b0 = conv2d_bn(b0, 384, 3, strides=2)
-        b1 = conv2d_bn(y, 256, 1)
-        b1 = conv2d_bn(b1, 288, 3, strides=2)
-        b2 = conv2d_bn(y, 256, 1)
-        b2 = conv2d_bn(b2, 288, 3)
-        b2 = conv2d_bn(b2, 320, 3, strides=2)
+        if use_pack:
+            c = y.shape[-1]
+            p0h, p0b = cb(c, 256), cb(256, 384, 3)
+            p1h, p1b = cb(c, 256), cb(256, 288, 3)
+            p2h, p2b, p2c = cb(c, 256), cb(256, 288, 3), cb(288, 320, 3)
+            b0, b1, b2 = cb_packed(y, [p0h, p1h, p2h])
+            b0 = cb_apply(b0, p0b, strides=2)
+            b1 = cb_apply(b1, p1b, strides=2)
+            b2 = cb_apply(cb_apply(b2, p2b), p2c, strides=2)
+        else:
+            b0 = conv2d_bn(y, 256, 1)
+            b0 = conv2d_bn(b0, 384, 3, strides=2)
+            b1 = conv2d_bn(y, 256, 1)
+            b1 = conv2d_bn(b1, 288, 3, strides=2)
+            b2 = conv2d_bn(y, 256, 1)
+            b2 = conv2d_bn(b2, 288, 3)
+            b2 = conv2d_bn(b2, 320, 3, strides=2)
         bp = maxpool_same(y)
         y = jnp.concatenate([b0, b1, b2, bp], axis=-1)  # 2080
 
@@ -233,12 +337,39 @@ class InceptionResNetV2UNet(nn.Module):
                 y.astype(self.dtype), ka, ba, ma, aa, kb, bb, mb, ab,
                 None if skip is None else skip.astype(self.dtype))
 
+        hc = int(self.halo_crop)
+        if (train or trunc or n_s2d or n_fs or self.wpack
+                or self.fused_decoder or hc % 32 or hc < 64):
+            hc = 0
+        fresh = x.shape[1] - 2 * hc
+
+        def crop_to(y, margin, scale):
+            # center-crop toward (fresh/scale + 2*margin); margins >= the
+            # remaining ops' receptive field keep the output exact.  Crops
+            # are floored to multiples of 8 so every dim stays 16-aligned
+            # (odd-dim slices measured -2.8% in-model: they break XLA's
+            # (16,128) tiling and the upsample->conv input fusion); the
+            # final margin=0 crop is exact by construction.
+            cur = (y.shape[1] - fresh // scale) // 2
+            c = cur if margin == 0 else (cur - margin) // 8 * 8
+            return y[:, c:-c, c:-c, :] if c > 0 else y
+
         y = conv5
-        for feats, skip in stages[:len(stages) - n_s2d - n_fs]:
+        scale = 32
+        for i, (feats, skip) in enumerate(
+                stages[:len(stages) - n_s2d - n_fs]):
+            if hc:
+                y = crop_to(y, 2, scale)
+            scale //= 2
             y = conv_block(upsample2x(y), feats)
             if skip is not None:
+                if hc:
+                    skip = crop_to(skip, (y.shape[1] - fresh // scale) // 2,
+                                   scale)
                 y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
             y = conv_block(y, feats)
+        if hc:
+            y = crop_to(y, 0, 1)
         for feats, skip in stages[len(stages) - n_fs:]:
             y = fused_stage(y, feats, skip)
 

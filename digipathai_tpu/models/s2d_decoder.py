@@ -132,17 +132,21 @@ class BNParams(nn.Module):
 
     features: int
     epsilon: float = 1e-3
+    use_scale: bool = True  # False matches nn.BatchNorm(use_scale=False)
 
     @nn.compact
     def __call__(self):
         f = self.features
-        scale = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        mul = jnp.ones((f,), jnp.float32)
+        if self.use_scale:
+            mul = self.param("scale", nn.initializers.ones, (f,),
+                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
         mean = self.variable("batch_stats", "mean",
                              nn.initializers.zeros, None, (f,), jnp.float32)
         var = self.variable("batch_stats", "var",
                             nn.initializers.ones, None, (f,), jnp.float32)
-        mul = scale * jax.lax.rsqrt(var.value + self.epsilon)
+        mul = mul * jax.lax.rsqrt(var.value + self.epsilon)
         return mul, bias - mean.value * mul
 
 

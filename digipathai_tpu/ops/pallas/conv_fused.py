@@ -38,8 +38,8 @@ _PADR = 16   # row-halo allocation, bf16 sublane tile
 _PADW = 16   # col-halo allocation; cols are the SUBLANE dim, 16-aligned (bf16)
 
 
-def _kernel(x_hbm, kp_ref, aff_ref, out_ref, strips, sems, *, R, WC, C, F,
-            relu):
+def _kernel(x_hbm, kp_ref, aff_ref, pre_ref, out_ref, strips, sems, *, R, WC,
+            C, F, relu, pre, H, W):
     # Input strips are double-buffered across grid steps: scratch persists
     # between sequential grid cells on the core, so each step prefetches
     # the NEXT cell's strip while computing its own (the serial-DMA version
@@ -69,6 +69,23 @@ def _kernel(x_hbm, kp_ref, aff_ref, out_ref, strips, sems, *, R, WC, C, F,
         get_dma(jax.lax.rem(nxt, 2), ni, njx).start()
 
     get_dma(slot, i, j).wait()
+    if pre:
+        # Input-side BN-affine + relu (dense-layer pre-activation), applied
+        # once per strip in place — same bf16 elementwise arithmetic as the
+        # canonical XLA path.  The canonical path pads AFTER the activation,
+        # so out-of-image strip positions (SAME halo + alignment padding,
+        # where relu(0*pm + pa) would leak max(pa, 0)) are re-zeroed via a
+        # float mask (bool selects broadcast poorly on the VPU lanes).
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (R + _PADR, WC + _PADW, 1), 0) + i * R
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (R + _PADR, WC + _PADW, 1), 1) + j * WC
+        inside = ((rows >= 1) & (rows < H + 1)
+                  & (cols >= 1) & (cols < W + 1))
+        h = jnp.maximum(
+            strips[slot] * pre_ref[0].astype(strips.dtype)
+            + pre_ref[1].astype(strips.dtype), 0)
+        strips[slot] = (h * inside.astype(strips.dtype)).astype(strips.dtype)
     y = None
     for dy in range(3):
         for dx in range(3):
@@ -84,10 +101,24 @@ def _kernel(x_hbm, kp_ref, aff_ref, out_ref, strips, sems, *, R, WC, C, F,
     out_ref[:] = y.reshape(R, WC, F).astype(out_ref.dtype)
 
 
+def _pick_cols(w: int, lo: int = 128, hi: int = 320) -> int:
+    """Column-block width: a 16-multiple (bf16 sublane tile) minimizing the
+    grid's right-edge padding, preferring wider blocks on ties.  E.g. 1088
+    -> 272 (zero pad) where a fixed 256 would pad 1088 -> 1280."""
+    best, best_key = lo, None
+    for wc in range(lo, hi + 1, 16):
+        wp = -(-w // wc) * wc
+        key = (wp - w, -wc)
+        if best_key is None or key < best_key:
+            best, best_key = wc, key
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("relu", "block_rows",
                                              "block_cols", "interpret"))
 def fused_conv3x3(x, k, bias=None, mul=None, add=None, *, relu=True,
-                  block_rows: int = 16, block_cols: int = 256,
+                  pre_mul=None, pre_add=None,
+                  block_rows: int = 16, block_cols: int = 0,
                   interpret=None):
     """``relu((conv3x3_same(x, k) + bias) * mul + add)`` via Pallas.
 
@@ -95,13 +126,19 @@ def fused_conv3x3(x, k, bias=None, mul=None, add=None, *, relu=True,
     or None. Returns (N, H, W, F) in x.dtype. N must be 1 (the engine's
     tile path); vmap for batches. ``interpret=None`` auto-selects the
     Pallas interpreter off-TPU (CPU tests exercise the same code path).
+
+    ``pre_mul``/``pre_add`` (shape (C,)) apply an input-side
+    ``relu(x * pre_mul + pre_add)`` before the conv — the dense-layer
+    pre-activation (BN-affine + relu), fused into the strip load so the
+    activation tensor never makes an extra HBM pass
+    (models/densenet_unet.py dense_block_chunked).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, h, w, c = x.shape
     f = k.shape[-1]
     assert n == 1, "fused_conv3x3 expects a single supertile (N=1)"
-    R, WC = block_rows, block_cols
+    R, WC = block_rows, block_cols or _pick_cols(w)
     hp = -(-h // R) * R
     wp = -(-w // WC) * WC
 
@@ -119,16 +156,25 @@ def fused_conv3x3(x, k, bias=None, mul=None, add=None, *, relu=True,
     if bias is not None:
         off = off + bias * mul_
     aff = jnp.stack([mul_, off]).astype(jnp.float32)  # (2, F)
+    pre = pre_mul is not None or pre_add is not None
+    pm = jnp.ones((c,), jnp.float32) if pre_mul is None else pre_mul
+    pa = jnp.zeros((c,), jnp.float32) if pre_add is None else pre_add
+    # pad the pre-affine so the zero-padded lanes stay zero through relu
+    pre_aff = jnp.stack([jnp.pad(pm, (0, cp - c)),
+                         jnp.pad(pa, (0, cp - c))]).astype(jnp.float32)
 
     grid = (hp // R, wp // WC)
     out = pl.pallas_call(
-        functools.partial(_kernel, R=R, WC=WC, C=cp, F=f, relu=relu),
+        functools.partial(_kernel, R=R, WC=WC, C=cp, F=f, relu=relu,
+                          pre=pre, H=h, W=w),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9, cp, f), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, f), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cp), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R, WC, f), lambda i, j: (i, j, 0),
@@ -139,5 +185,5 @@ def fused_conv3x3(x, k, bias=None, mul=None, add=None, *, relu=True,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, kp, aff)
+    )(xp, kp, aff, pre_aff)
     return out[None, :h, :w, :]

@@ -88,6 +88,57 @@ class TestDenseNetUNet:
         assert t1 == t2
 
 
+class TestPackedHeads:
+    def test_packed_heads_matches_canonical(self):
+        """packed_heads=True computes the same function as the canonical
+        per-branch path with an IDENTICAL parameter tree: parallel 1x1
+        branch heads become one conv (kernels concatenated along C_out —
+        each output channel keeps its own dot) + folded BN affine + split
+        (inception_unet.py cb_packed).  Variables init'd from one module
+        apply unchanged through the other."""
+        packed = build_model("inception", dtype=jnp.float32,
+                             packed_heads=True)
+        canon = build_model("inception", dtype=jnp.float32,
+                            packed_heads=False)
+        v = canon.init(64)
+        rng = np.random.default_rng(23)
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        y_packed = packed.apply(v, x)
+        y_canon = canon.apply(v, x)
+        np.testing.assert_allclose(np.asarray(y_packed),
+                                   np.asarray(y_canon), atol=2e-5)
+        v2 = packed.init(64)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v2))
+        shapes = jax.tree_util.tree_map(lambda a: a.shape, v)
+        shapes2 = jax.tree_util.tree_map(lambda a: a.shape, v2)
+        assert shapes == shapes2
+
+
+class TestHaloCrop:
+    @pytest.mark.parametrize("name", ["dense", "inception"])
+    def test_equals_canonical_center_crop(self, name):
+        """halo_crop=h: the (H-2h)^2 output equals the canonical forward's
+        center crop exactly — decoder feature maps are cropped only down to
+        margins that cover the remaining ops' receptive field, so no kept
+        output pixel ever sees the (zero-padded) cut edges."""
+        h = 64
+        crop = build_model(name, dtype=jnp.float32, halo_crop=h)
+        canon = build_model(name, dtype=jnp.float32)
+        v = canon.init(192)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(1, 192, 192, 3)).astype(np.float32))
+        y_crop = crop.apply(v, x)
+        y_full = canon.apply(v, x)
+        assert y_crop.shape[1:3] == (64, 64)
+        np.testing.assert_allclose(np.asarray(y_crop),
+                                   np.asarray(y_full[:, h:-h, h:-h]),
+                                   atol=2e-5)
+        # identical parameter tree (halo_crop is compute-only)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(crop.init(192)))
+
+
 class TestBinaryHead:
     """apply_p1 (rank-3 p(class 1)) equals apply(...)[..., 1] exactly for
     every registered model — the engine consumes only class 1, and the
