@@ -143,6 +143,8 @@ def bench_tile(names, tta, patch):
     pheads = int(os.environ.get("DPAI_BENCH_PHEADS", -1))
     # A/B the progressive decoder halo crop (models' halo_crop; exact)
     hcrop = int(os.environ.get("DPAI_BENCH_HCROP", -1))
+    # A/B the host-packed s2d stem (models' s2d_stem + packed TTA; exact)
+    s2dstem = os.environ.get("DPAI_BENCH_S2DSTEM") == "1"
 
     def model_kw(n):
         kw = {"quantized": True} if quant else {}
@@ -168,6 +170,8 @@ def bench_tile(names, tta, patch):
                 # attribute in-model per-stage cost (densenet_unet.py /
                 # inception_unet.py)
                 kw["trunc_last"] = int(os.environ["DPAI_BENCH_TRUNC"])
+        if s2dstem:
+            kw["s2d_stem"] = True
         return kw
 
     bundles = [build_model(n, dtype=jnp.bfloat16, **model_kw(n))
@@ -176,8 +180,14 @@ def bench_tile(names, tta, patch):
     steps, combine, _ = build_model_tile_steps(bundles, tta, tile, halo,
                                                tta_batch=ttab)
     rng = np.random.default_rng(0)
-    tile_u8 = jnp.asarray(
-        rng.integers(0, 255, (tile + 2 * halo, tile + 2 * halo, 3), np.uint8))
+    tile_u8 = rng.integers(0, 255, (tile + 2 * halo, tile + 2 * halo, 3),
+                           np.uint8)
+    if s2dstem:
+        # what the loader ships in s2d mode: host-packed (H/2, W/2, 12)
+        from digipathai_tpu.ops.s2d_input import pack_host
+
+        tile_u8 = pack_host(tile_u8)
+    tile_u8 = jnp.asarray(tile_u8)
 
     def run():
         sums, sqs = [], []

@@ -108,6 +108,7 @@ def getSegmentation(img_path,
                     tile_local_aspp: bool = True,
                     spatial_shard="auto",
                     decoder_halo_crop: bool = False,
+                    s2d_input: bool = False,
                     s2d_decoder: bool = False,
                     wpack: bool = False,
                     fused_stages: int = 0,
@@ -153,6 +154,7 @@ def getSegmentation(img_path,
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16
     bundles, variables_list = [], []
+    model_kws = {}
     for name in model_names:
         kw = {}
         if s2d_decoder and name in ("dense", "inception"):
@@ -176,8 +178,14 @@ def getSegmentation(img_path,
             # the engine discards the halo fringe, so the U-Net decoders
             # never compute it above the bottleneck
             kw["halo_crop"] = patch_size // 2
+        if (s2d_input and inference_mode == "tile"
+                and name in ("dense", "inception", "deeplabv3")):
+            # host-packed s2d input: the loader ships 2x2-packed tiles and
+            # the C=3 stems run in the packed domain (ops/s2d_input.py)
+            kw["s2d_stem"] = True
         b = build_model(name, dtype=compute_dtype, **kw)
         bundles.append(b)
+        model_kws[name] = kw
         if name in _ENSEMBLE:
             v = weights_mod.load_variables(
                 b, mode, name, patch_size, status=status,
@@ -283,7 +291,8 @@ def getSegmentation(img_path,
             # changes) so tile mode stays patch-like. See PARITY.md.
             bundles = [
                 build_model(b.name, dtype=compute_dtype,
-                            aspp_pool_window=patch_size)
+                            aspp_pool_window=patch_size,
+                            **model_kws[b.name])
                 if b.name == "deeplabv3" else b
                 for b in bundles
             ]

@@ -94,6 +94,11 @@ def build_model_tile_steps(bundles: Sequence, tta_list: Sequence[str],
     chains = tta_ops.effective_transforms(tta_list, faithful=faithful_tta)
 
     def make_step(bundle):
+        # s2d_stem models take the 2x2-packed (H/2, W/2, 12) tile the host
+        # loader ships; TTA then runs in the packed domain (spatial
+        # transform + phase-channel permutation — ops/s2d_input.py)
+        packed = bool(getattr(bundle.module, "s2d_stem", False))
+
         def step(variables, tile_u8):
             x = normalize_patches(tile_u8[None], dtype=compute_dtype)
             # TTA forwards, SERIALIZED (B=1) or B-batched via lax.scan so
@@ -102,8 +107,12 @@ def build_model_tile_steps(bundles: Sequence, tta_list: Sequence[str],
             # crop is a center crop of a square tile, so it commutes with
             # every dihedral TTA transform and can happen inside the body,
             # before the (outside-of-scan, per-chain static) inversion.
+            if packed:
+                from ..ops.s2d_input import apply_chain_packed as _chain
+            else:
+                _chain = tta_ops.apply_chain
             xts = jnp.concatenate(
-                [tta_ops.apply_chain(x, c) for c in chains], axis=0)
+                [_chain(x, c) for c in chains], axis=0)
 
             B = max(1, min(tta_batch, len(chains)))
             nb, rem = divmod(len(chains), B)
@@ -212,6 +221,18 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
         spatial_shard == "auto" and len(todo) < len(devices))
     use_sp = (use_sp and len(devices) > 1
               and (S + 2 * halo) % len(devices) == 0)
+    packed_flags = {bool(getattr(b.module, "s2d_stem", False))
+                    for b in bundles}
+    if len(packed_flags) > 1:
+        raise ValueError("s2d_stem must be uniform across the ensemble")
+    packed = packed_flags == {True}
+    if use_sp and packed:
+        # the sp path shards the raw tile over the mesh; keep it on the
+        # canonical stem (same params — s2d_stem is compute-only)
+        from ..models.registry import ModelBundle
+        bundles = [ModelBundle(b.name, b.module.clone(s2d_stem=False))
+                   for b in bundles]
+        packed = False
     if not use_sp:
         steps, combine, _ = build_model_tile_steps(
             bundles, tta_full, S, halo, compute_dtype=compute_dtype,
@@ -303,6 +324,11 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
             region = slide.read_region((ox - halo, oy - halo), 0,
                                        (S + 2 * halo, S + 2 * halo))
             tile_xyc = np.ascontiguousarray(np.transpose(region, (1, 0, 2)))
+            if packed:
+                # host-side 2x2 s2d pack (ops/s2d_input.py): the stem lever
+                from ..ops.s2d_input import pack_host
+
+                tile_xyc = pack_host(tile_xyc)
             ctx = timer.stage("infer") if timer else _null()
             with ctx:
                 tile_dev = jax.device_put(tile_xyc, dev)

@@ -44,6 +44,10 @@ class DeepLabV3Plus(nn.Module):
     aspp_pool_window: int = 0
     # int8 inference for the wide convs (opt-in, see models/quant.py)
     quantized: bool = False
+    # Input arrives 2x2-space-to-depth packed (N, H/2, W/2, 12) and the
+    # 3x3/2 entry conv runs as a stride-1 conv with the re-indexed kernel —
+    # exact, same params (ops/s2d_input.py; see densenet_unet.s2d_stem).
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -128,11 +132,36 @@ class DeepLabV3Plus(nn.Module):
 
         x = x.astype(self.dtype)
         B, H, W, _ = x.shape
+        s2ds = self.s2d_stem and not train
+        if s2ds:
+            assert x.shape[-1] == 12, \
+                "s2d_stem expects a 2x2-packed (N, H/2, W/2, 12) input"
+            H, W = 2 * H, 2 * W  # logical (full-res) size for the head
 
         # --- entry flow ---
-        y = conv(32, (3, 3), strides=(2, 2), padding="SAME",
-                 name="entry_flow_conv1_1")(x)
-        y = bn(epsilon=1e-3, name="entry_flow_conv1_1_BN")(y)
+        if s2ds:
+            # packed-input entry conv: same params, kernel re-indexed for
+            # the s2d grid (3x3/2 SAME -> 2x2/1 over 12ch; ops/s2d_input.py)
+            import jax.lax as lax
+
+            from ..ops.s2d_input import stem_kernel_s2d
+            from .s2d_decoder import BNParams, ConvParams
+
+            k, _ = ConvParams((3, 3, 3, 32),
+                              kernel_init=nn.initializers.lecun_normal(),
+                              use_bias=False, name="entry_flow_conv1_1")()
+            k2, pads = stem_kernel_s2d(k, 0)
+            y = lax.conv_general_dilated(
+                x, k2.astype(self.dtype), (1, 1), pads,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
+            m, a = BNParams(32, epsilon=1e-3,
+                            name="entry_flow_conv1_1_BN")()
+            y = y * m.astype(y.dtype) + a.astype(y.dtype)
+        else:
+            y = conv(32, (3, 3), strides=(2, 2), padding="SAME",
+                     name="entry_flow_conv1_1")(x)
+            y = bn(epsilon=1e-3, name="entry_flow_conv1_1_BN")(y)
         y = nn.relu(y)
         y = conv2d_same(y, 64, "entry_flow_conv1_2", kernel=3, stride=1)
         y = bn(epsilon=1e-3, name="entry_flow_conv1_2_BN")(y)

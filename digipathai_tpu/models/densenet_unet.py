@@ -80,6 +80,12 @@ class DenseNet121UNet(nn.Module):
     # the two most expensive (highest-res) decoder stages at halo 128 /
     # tile 4096.  Inference only; 0 disables (patch mode).
     halo_crop: int = 0
+    # Input arrives 2x2-space-to-depth packed — (N, H/2, W/2, 12), layout
+    # (row-phase, col-phase, c) — and the 7x7/2 stem runs as a stride-1
+    # conv with the re-indexed kernel (ops/s2d_input.py).  Exact, same
+    # parameters; kills the C=3 stem conv pathology (39.6 -> ~19 ms per
+    # tile-4096 forward) when the LOADER packs on host.  Inference only.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -227,11 +233,32 @@ class DenseNet121UNet(nn.Module):
         x = x.astype(self.dtype)
         if self.chunked_encoder and not train and not self.quantized:
             dense_block = dense_block_chunked  # noqa: F811 — exact swap
+        s2ds = self.s2d_stem and not train
+        if s2ds:
+            assert x.shape[-1] == 12, \
+                "s2d_stem expects a 2x2-packed (N, H/2, W/2, 12) input"
 
         # --- encoder (DenseNet-121) ---
-        y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-        y = conv(64, (7, 7), strides=(2, 2), padding="VALID", use_bias=False,
-                 name="conv1__conv")(y)
+        if s2ds:
+            # packed-input stem: same 'conv1__conv' parameters, re-indexed
+            # for the s2d grid (pad 3 + 7x7/2 VALID -> 4x4/1 over 12ch)
+            import jax.lax as lax
+
+            from ..ops.s2d_input import stem_kernel_s2d
+            from .s2d_decoder import ConvParams
+
+            k, _ = ConvParams((7, 7, 3, 64),
+                              kernel_init=nn.initializers.lecun_normal(),
+                              use_bias=False, name="conv1__conv")()
+            k2, pads = stem_kernel_s2d(k, 3)
+            y = lax.conv_general_dilated(
+                x, k2.astype(self.dtype), (1, 1), pads,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
+        else:
+            y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+            y = conv(64, (7, 7), strides=(2, 2), padding="VALID",
+                     use_bias=False, name="conv1__conv")(y)
         y = bn(epsilon=BN_EPS_DENSE, name="conv1__bn")(y)
         y = nn.relu(y)
         conv1 = y
@@ -294,7 +321,8 @@ class DenseNet121UNet(nn.Module):
         if (train or trunc or n_s2d or n_fs or self.wpack
                 or self.fused_decoder or hc % 32 or hc < 64):
             hc = 0
-        fresh = x.shape[1] - 2 * hc
+        h_full = x.shape[1] * (2 if s2ds else 1)
+        fresh = h_full - 2 * hc
 
         def crop_to(y, margin, scale):
             # center-crop toward (fresh/scale + 2*margin); margins >= the

@@ -61,6 +61,10 @@ class InceptionResNetV2UNet(nn.Module):
     # computed above the bottleneck — receptive-field-exact, see
     # densenet_unet.DenseNet121UNet.halo_crop.  Inference only; 0 disables.
     halo_crop: int = 0
+    # Input arrives 2x2-space-to-depth packed (N, H/2, W/2, 12) and the
+    # 3x3/2 stem1 runs as a stride-1 conv with the re-indexed kernel —
+    # exact, same params (ops/s2d_input.py; see densenet_unet.s2d_stem).
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -230,9 +234,29 @@ class InceptionResNetV2UNet(nn.Module):
             return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         x = x.astype(self.dtype)
+        s2ds = self.s2d_stem and not train
+        if s2ds:
+            assert x.shape[-1] == 12, \
+                "s2d_stem expects a 2x2-packed (N, H/2, W/2, 12) input"
 
         # --- stem ---
-        y = conv2d_bn(x, 32, 3, strides=2)
+        if s2ds:
+            # packed-input stem1: same params (cb declares the canonical
+            # conv+BN tree), kernel re-indexed for the s2d grid
+            # (3x3/2 SAME -> 2x2/1 over 12ch; ops/s2d_input.py)
+            import jax.lax as lax
+
+            from ..ops.s2d_input import stem_kernel_s2d
+
+            k, m, a = cb(3, 32, 3)
+            k2, pads = stem_kernel_s2d(k, 0)
+            y = lax.conv_general_dilated(
+                x, k2.astype(self.dtype), (1, 1), pads,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
+            y = nn.relu(y * m.astype(y.dtype) + a.astype(y.dtype))
+        else:
+            y = conv2d_bn(x, 32, 3, strides=2)
         y = conv2d_bn(y, 32, 3)
         y = conv2d_bn(y, 64, 3)
         conv1 = y
@@ -341,7 +365,8 @@ class InceptionResNetV2UNet(nn.Module):
         if (train or trunc or n_s2d or n_fs or self.wpack
                 or self.fused_decoder or hc % 32 or hc < 64):
             hc = 0
-        fresh = x.shape[1] - 2 * hc
+        h_full = x.shape[1] * (2 if s2ds else 1)
+        fresh = h_full - 2 * hc
 
         def crop_to(y, margin, scale):
             # center-crop toward (fresh/scale + 2*margin); margins >= the
