@@ -44,11 +44,14 @@ class TestTrainStep:
         y = jnp.asarray(np.eye(2, dtype=np.float32)[lab])
         variables, opt_state = state.variables, state.opt_state
         first = None
-        for i in range(12):
+        # 40 steps: the trajectory plateaus ~0.93 for ~15 steps before
+        # dropping to ~0.12; a short-horizon 10%-decrease assertion proved
+        # host-FP-sensitive (flipped when the CI machine changed).
+        for i in range(40):
             variables, opt_state, loss = step(variables, opt_state, x, y)
             if first is None:
                 first = float(loss)
-        assert float(loss) < first * 0.9, (first, float(loss))
+        assert float(loss) < first * 0.5, (first, float(loss))
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
     def test_sharded_step_runs_and_matches_serial_loss(self, rng):
