@@ -95,6 +95,15 @@ def build_config(argv=None) -> tuple:
 
 def main(argv=None):
     cfg, opts = build_config(argv)
+    # DPAI_PLATFORM=cpu pins JAX before any engine import — for degraded
+    # serving when the TPU is unreachable, and for CPU smoke drives. An env
+    # var alone is not enough on hosts whose sitecustomize programmatically
+    # sets jax_platforms after reading it.
+    platform = os.environ.get("DPAI_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     app = create_app(cfg)
     httpd = serve(app, host=opts.host, port=opts.port)
     print(f"DigiPathAI-TPU serving {os.path.abspath(cfg.slide_dir)} "
