@@ -32,6 +32,8 @@ class Slide:
 
         from .hamamatsu import detect_vms
 
+        from .sakura import detect_sakura
+
         if detect_mirax(self.path):
             # 3DHISTECH Mirax: directory format (io/mirax.py)
             from .mirax import MiraxReader
@@ -40,6 +42,16 @@ class Slide:
             self._pages = self._r.pages
             self._page_index = list(range(len(self._pages)))
             self._associated = {}
+        elif detect_sakura(self.path):
+            # Sakura SVSLIDE: SQLite database of JPEG tile blobs
+            # (io/sakura.py); label/macro ride as pseudo-pages
+            from .sakura import SakuraReader
+
+            self._r = SakuraReader(self.path)
+            self._pages = self._r.pages[:self._r.n_levels]
+            self._page_index = list(range(self._r.n_levels))
+            self._associated = {name: self._r.n_levels + i for i, name in
+                                enumerate(self._r.assoc_names)}
         elif detect_vms(self.path):
             # Hamamatsu VMS/VMU: INI index + JPEG/NGR payload files
             # (io/hamamatsu.py); one level + map/macro associated images
@@ -328,8 +340,9 @@ class Slide:
         try:
             from .hamamatsu import detect_vms
             from .mirax import detect_mirax
+            from .sakura import detect_sakura
 
-            m = detect_mirax(path) or detect_vms(path)
+            m = detect_mirax(path) or detect_vms(path) or detect_sakura(path)
             if m:
                 return m
             if os.path.getsize(path) < 8:

@@ -41,7 +41,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("slide")
     ap.add_argument("--models", nargs="+", default=["ensemble"],
-                    choices=["dense", "inception", "deeplabv3", "ensemble"])
+                    choices=["dense", "inception", "deeplabv3", "ensemble",
+                             "epistemic"])
     ap.add_argument("--mode", default="colon",
                     choices=["colon", "liver", "breast"])
     ap.add_argument("--out", default="results")
@@ -63,13 +64,17 @@ def main() -> int:
 
     rows = []
     for model in args.models:
-        quick = model != "ensemble"
+        # "epistemic" = full ensemble with NO TTA: the uncertainty map then
+        # reflects inter-model (epistemic) variance only
+        # (reference usage/usage.py:46-49).
+        quick = model not in ("ensemble", "epistemic")
+        tta = [] if model == "epistemic" else args.tta
         tag = os.path.join(args.out, f"{stem}-{model}")
         t0 = time.time()
         getSegmentation(
             img_path=args.slide, patch_size=args.patch,
             stride_size=args.stride, batch_size=args.batch,
-            tta_list=args.tta, crf=args.crf, quick=quick,
+            tta_list=tta, crf=args.crf, quick=quick,
             model=model if quick else "dense", mode=args.mode,
             probs_path=f"{tag}-probs.tiff",
             mask_path=f"{tag}-dgai-mask.tiff",

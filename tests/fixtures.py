@@ -746,3 +746,97 @@ def make_mirax_slide(path: str, seed=0, nx=6, ny=5, tile=128, overlap=16,
         "tissue_mask": tissue, "lesion_mask": lesion,
         "zoom_levels": zoom_levels,
     }
+
+
+def make_sakura_slide(path: str, seed=0, tile=128, nx=5, ny=4,
+                      zoom_levels=3, mpp=0.23, drop_tile=(0, 0),
+                      per_channel=True) -> dict:
+    """Write a Sakura SVSLIDE fixture per the schema
+    ``digipathai_tpu/io/sakura.py`` documents: an SQLite database with
+    ``DataManagerSQLiteConfigXPO`` naming the tile table, tiles keyed
+    ``"x|y|focal|color|zoom"`` (level-0 pixel origins, power-of-two zooms),
+    ``SVHRScanDataXPO`` scan metadata and label/overview blobs reachable from
+    ``SVSlideDataXPO``.
+
+    ``per_channel=True`` stores each tile as three single-channel images
+    (the Sakura convention); blobs are PNG so tests can compare assembled
+    regions bit-exactly (the reader decodes via PIL, codec-agnostic).
+    ``drop_tile`` omits one level-0 tile to exercise the white sparse fill.
+    """
+    import os
+    import sqlite3
+    from io import BytesIO
+
+    from PIL import Image
+
+    w0, h0 = nx * tile, ny * tile
+    img, tissue, lesion = render_he_like(w0, h0, seed)
+    canvas = img.copy()
+    if drop_tile is not None:
+        tx, ty = drop_tile
+        canvas[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile] = 255
+
+    if os.path.exists(str(path)):
+        os.remove(str(path))
+    db = sqlite3.connect(str(path))
+    table = "T_DPAI_FIXTURE"
+    db.execute("CREATE TABLE DataManagerSQLiteConfigXPO (TableName TEXT)")
+    db.execute("INSERT INTO DataManagerSQLiteConfigXPO VALUES (?)", (table,))
+    db.execute(f'CREATE TABLE "{table}" (id TEXT PRIMARY KEY, data BLOB)')
+    db.execute("CREATE TABLE SVHRScanDataXPO (m_nImageWidth INTEGER,"
+               " m_nImageHeight INTEGER, m_nTileWidth INTEGER,"
+               " m_nTileHeight INTEGER, m_ResolutionMmPerPix REAL)")
+    db.execute("INSERT INTO SVHRScanDataXPO VALUES (?, ?, ?, ?, ?)",
+               (w0, h0, tile, tile, mpp / 1000.0))
+
+    def png(arr):
+        buf = BytesIO()
+        Image.fromarray(arr).save(buf, "PNG")
+        return buf.getvalue()
+
+    level_img = img
+    for z_idx in range(zoom_levels):
+        zoom = 1 << z_idx
+        if z_idx:
+            level_img = level_img[::2, ::2]
+        lh, lw = level_img.shape[:2]
+        for ty in range(-(-lh // tile)):
+            for tx in range(-(-lw // tile)):
+                if zoom == 1 and drop_tile is not None and \
+                        (tx, ty) == tuple(drop_tile):
+                    continue
+                blk = np.full((tile, tile, 3), 255, np.uint8)
+                sub = level_img[ty * tile:(ty + 1) * tile,
+                                tx * tile:(tx + 1) * tile]
+                blk[:sub.shape[0], :sub.shape[1]] = sub
+                x0, y0 = tx * tile * zoom, ty * tile * zoom
+                if per_channel:
+                    for c in range(3):
+                        db.execute(
+                            f'INSERT INTO "{table}" VALUES (?, ?)',
+                            (f"{x0}|{y0}|0|{c}|{zoom}", png(blk[:, :, c])))
+                else:
+                    db.execute(f'INSERT INTO "{table}" VALUES (?, ?)',
+                               (f"{x0}|{y0}|0|0|{zoom}", png(blk)))
+
+    # label + overview referenced from SVSlideDataXPO by OID
+    db.execute("CREATE TABLE SVScannedImageDataXPO (OID INTEGER PRIMARY KEY,"
+               " m_image BLOB)")
+    label = np.full((64, 48, 3), 200, np.uint8)
+    label[8:24, 8:40] = (30, 30, 120)
+    overview = img[::8, ::8].copy()
+    db.execute("INSERT INTO SVScannedImageDataXPO VALUES (1, ?)", (png(label),))
+    db.execute("INSERT INTO SVScannedImageDataXPO VALUES (2, ?)",
+               (png(overview),))
+    db.execute("CREATE TABLE SVSlideDataXPO (m_labelScan INTEGER,"
+               " m_overviewScan INTEGER)")
+    db.execute("INSERT INTO SVSlideDataXPO VALUES (1, 2)")
+    db.commit()
+    db.close()
+
+    return {
+        "width": w0, "height": h0, "canvas": canvas, "mpp": mpp,
+        "tissue_mask": tissue, "lesion_mask": lesion,
+        "zoom_levels": zoom_levels, "tile": tile, "drop_tile": drop_tile,
+        "label": label, "overview": overview,
+    }
