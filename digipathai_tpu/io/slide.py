@@ -333,8 +333,11 @@ class Slide:
 
         Mirrors ``OpenSlide.detect_format`` for the formats this stack can
         actually open: ``"aperio"`` (SVS, incl. JPEG2000-compressed),
-        ``"hamamatsu"`` (NDPI via restart-marker surgery, ``io/ndpi.py``),
-        ``"mirax"`` (directory-based MRXS, ``io/mirax.py``) and
+        ``"hamamatsu"`` (NDPI via restart-marker surgery ``io/ndpi.py``;
+        VMS/VMU ``io/hamamatsu.py``), ``"mirax"`` (directory-based MRXS,
+        ``io/mirax.py``), ``"sakura"`` (SVSLIDE SQLite, ``io/sakura.py``),
+        ``"leica"`` / ``"philips"`` / ``"ventana"`` / ``"trestle"``
+        (vendor TIFF containers, ``io/vendor_tiff.py``) and
         ``"generic-tiff"``.
         """
         try:
