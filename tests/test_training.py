@@ -43,15 +43,20 @@ class TestTrainStep:
         lab[:, 16:] = 1
         y = jnp.asarray(np.eye(2, dtype=np.float32)[lab])
         variables, opt_state = state.variables, state.opt_state
-        first = None
-        # 40 steps: the trajectory plateaus ~0.93 for ~15 steps before
-        # dropping to ~0.12; a short-horizon 10%-decrease assertion proved
-        # host-FP-sensitive (flipped when the CI machine changed).
-        for i in range(40):
+        first = last = None
+        # Adaptive horizon: the trajectory plateaus ~0.93 for a host-FP-
+        # dependent 15-40 steps before collapsing (two different CI CPUs
+        # crossed the halving bar at step ~25 and step ~45 respectively),
+        # so any fixed step count is flaky.  Run until the loss halves,
+        # bounded at 200 steps (~5x the slowest observed crossing).
+        for i in range(200):
             variables, opt_state, loss = step(variables, opt_state, x, y)
+            last = float(loss)
             if first is None:
-                first = float(loss)
-        assert float(loss) < first * 0.5, (first, float(loss))
+                first = last
+            if last < first * 0.5:
+                break
+        assert last < first * 0.5, (first, last)
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
     def test_sharded_step_runs_and_matches_serial_loss(self, rng):
