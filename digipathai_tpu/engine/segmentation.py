@@ -21,6 +21,7 @@ from typing import List
 
 import numpy as np
 
+from ..models import registry
 from ..models.registry import build_model
 from ..models import weights as weights_mod
 from ..ops import tta as tta_ops
@@ -156,15 +157,20 @@ def getSegmentation(img_path,
     bundles, variables_list = [], []
     model_kws = {}
     for name in model_names:
+        # gates + per-model state key off the CANONICAL registry key:
+        # build_model dispatches by substring ("my_deeplabv3" -> deeplabv3
+        # bundle), so the raw user string would miss the capability checks
+        # and make the tile path's model_kws[b.name] lookup KeyError
+        key = registry.resolve_model_name(name)
         kw = {}
-        if s2d_decoder and name in ("dense", "inception"):
+        if s2d_decoder and key in ("dense", "inception"):
             # exact execution rewrite, same params/outputs (s2d_decoder.py)
             kw["s2d_decoder"] = True
-        if wpack and not s2d_decoder and name in ("dense", "inception"):
+        if wpack and not s2d_decoder and key in ("dense", "inception"):
             # exact width-packed decoder convs (ops/wpack.py) — opt-in:
             # measured net-slower on v5e (see BASELINE.md), exact outputs
             kw["wpack"] = True
-        if fused_stages and name in ("dense", "inception"):
+        if fused_stages and key in ("dense", "inception"):
             # whole-stage Pallas fusion of the last N decoder stages
             # (ops/pallas/stage_fused.py; tile mode, inference only)
             kw["fused_stages"] = fused_stages
@@ -173,19 +179,19 @@ def getSegmentation(img_path,
             # measured probability-map deviation recorded in PARITY.md
             kw["quantized"] = True
         if (decoder_halo_crop and inference_mode == "tile"
-                and name in ("dense", "inception")):
+                and key in ("dense", "inception")):
             # progressive decoder halo cropping (exact; models' halo_crop):
             # the engine discards the halo fringe, so the U-Net decoders
             # never compute it above the bottleneck
             kw["halo_crop"] = patch_size // 2
         if (s2d_input and inference_mode == "tile"
-                and name in ("dense", "inception", "deeplabv3")):
+                and key in ("dense", "inception", "deeplabv3")):
             # host-packed s2d input: the loader ships 2x2-packed tiles and
             # the C=3 stems run in the packed domain (ops/s2d_input.py)
             kw["s2d_stem"] = True
         b = build_model(name, dtype=compute_dtype, **kw)
         bundles.append(b)
-        model_kws[name] = kw
+        model_kws[b.name] = kw
         if name in _ENSEMBLE:
             v = weights_mod.load_variables(
                 b, mode, name, patch_size, status=status,

@@ -217,10 +217,18 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
             if gi not in completed]
     # sp pays off when chips would otherwise idle (fewer supertiles than
     # devices); the sharded axis must divide the padded tile evenly
-    use_sp = (spatial_shard is True) or (
-        spatial_shard == "auto" and len(todo) < len(devices))
-    use_sp = (use_sp and len(devices) > 1
-              and (S + 2 * halo) % len(devices) == 0)
+    sp_possible = (len(devices) > 1
+                   and (S + 2 * halo) % len(devices) == 0)
+    if spatial_shard is True and not sp_possible:
+        # an explicit True must not silently fall back to round-robin
+        raise ValueError(
+            f"spatial_shard=True needs >1 device and (supertile + patch_"
+            f"size) % n_devices == 0; got {len(devices)} device(s), "
+            f"padded tile {S + 2 * halo}. Use spatial_shard='auto' for "
+            f"automatic fallback.")
+    use_sp = sp_possible and (
+        (spatial_shard is True)
+        or (spatial_shard == "auto" and len(todo) < len(devices)))
     packed_flags = {bool(getattr(b.module, "s2d_stem", False))
                     for b in bundles}
     if len(packed_flags) > 1:

@@ -53,19 +53,7 @@ _VMU_SECTION = "Uncompressed Virtual Microscope Specimen"
 _BAND_CACHE_BYTES = 64 << 20
 
 
-class _VmsPage:
-    """TiffPage-compatible level/associated-image descriptor."""
-
-    def __init__(self, width, height):
-        self.width = int(width)
-        self.height = int(height)
-        self.tile_width = 0
-        self.tile_height = 0
-        self.description = ""
-        self.compression = 7
-        self.tag_ids = ()
-        self.x_resolution = 0.0
-        self.resolution_unit = 2
+from .pageinfo import SyntheticPage as _VmsPage  # noqa: E402
 
 
 class _JpegColumn:
@@ -196,6 +184,11 @@ class VmsReader:
         base = os.path.dirname(os.path.abspath(path))
 
         def resolve(name):
+            if name not in sec or not sec[name].strip():
+                # malformed index: surface as ValueError (the error family
+                # the io layer's callers handle), not a raw KeyError
+                raise ValueError(
+                    f"{path}: VMS/VMU index is missing {name}")
             return os.path.join(base, sec[name].strip())
 
         cols = int(sec.get("NoJpegColumns", "1") or 1)
@@ -219,11 +212,16 @@ class VmsReader:
         self._assoc_files = {}
         for key, name in (("MapFile", "map"), ("MacroImage", "macro")):
             if key in sec and sec[key].strip():
-                self._assoc_files[name] = resolve(key)
                 from PIL import Image
 
-                with Image.open(self._assoc_files[name]) as im:
-                    self.pages.append(_VmsPage(im.width, im.height))
+                p = resolve(key)
+                try:  # header-only probe; a bad associated image must not
+                    with Image.open(p) as im:  # make the pyramid unopenable
+                        size = im.width, im.height
+                except Exception:
+                    continue
+                self._assoc_files[name] = p
+                self.pages.append(_VmsPage(*size))
 
         self.properties = {}
         pw = float(sec.get("PhysicalWidth", "0") or 0)  # nm
@@ -301,8 +299,10 @@ class VmsReader:
 
 
 def detect_vms(path: str) -> Optional[str]:
-    """'hamamatsu' if ``path`` is a .vms/.vmu index whose payload files
-    exist (mirrors OpenSlide's driver name for all Hamamatsu formats)."""
+    """'hamamatsu' if ``path`` is a .vms/.vmu file carrying the index
+    section header (mirrors OpenSlide's driver name for all Hamamatsu
+    formats).  Detection is header-only; missing/corrupt payload files
+    surface as ValueError/OSError when the slide is actually opened."""
     p = str(path)
     if not p.lower().endswith((".vms", ".vmu")):
         return None

@@ -45,26 +45,14 @@ from __future__ import annotations
 import configparser
 import os
 import struct
+import threading
 from io import BytesIO
 from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 
-class MiraxPage:
-    """Level descriptor with the TiffPage-compatible attributes the
-    ``Slide`` wrapper reads (width/height/tile_*/description)."""
-
-    def __init__(self, width, height, tile_width, tile_height):
-        self.width = int(width)
-        self.height = int(height)
-        self.tile_width = int(tile_width)
-        self.tile_height = int(tile_height)
-        self.description = ""
-        self.compression = 7  # JPEG-in-datafile
-        self.tag_ids = ()
-        self.x_resolution = 0.0
-        self.resolution_unit = 2
+from .pageinfo import SyntheticPage as MiraxPage  # noqa: E402
 
 
 def _ini_get(ini, section, key, default=None):
@@ -129,7 +117,11 @@ class MiraxReader:
 
         self._tiles = self._parse_index(os.path.join(self.dirname,
                                                      index_file))
-        self._fh: Dict[int, object] = {}
+        # raw fds read via os.pread: the engine's PatchLoader shares one
+        # Slide across num_workers threads (loader.py's thread-safety
+        # contract), so per-call seek+read on a shared handle would race
+        self._fd: Dict[int, int] = {}
+        self._fd_lock = threading.Lock()
 
         # geometry: level-0 canvas spans the camera grid; each level's
         # advance is (tw - ov) of that level
@@ -188,11 +180,14 @@ class MiraxReader:
         from PIL import Image
 
         fno, off, ln = rec
-        fh = self._fh.get(fno)
-        if fh is None:
-            fh = self._fh[fno] = open(self.data_files[fno], "rb")
-        fh.seek(off)
-        img = Image.open(BytesIO(fh.read(ln)))
+        fd = self._fd.get(fno)
+        if fd is None:
+            with self._fd_lock:
+                fd = self._fd.get(fno)
+                if fd is None:
+                    fd = self._fd[fno] = os.open(self.data_files[fno],
+                                                 os.O_RDONLY)
+        img = Image.open(BytesIO(os.pread(fd, ln, off)))
         return np.asarray(img.convert("RGB"), np.uint8)
 
     def read_region(self, level: int, x: int, y: int, w: int,
@@ -229,9 +224,10 @@ class MiraxReader:
         return out
 
     def close(self):
-        for fh in self._fh.values():
-            fh.close()
-        self._fh.clear()
+        with self._fd_lock:
+            for fd in self._fd.values():
+                os.close(fd)
+            self._fd.clear()
 
 
 def detect_mirax(path: str) -> Optional[str]:

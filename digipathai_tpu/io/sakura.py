@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import sqlite3
+import threading
 from io import BytesIO
 from typing import Dict, Optional, Tuple
 
@@ -44,20 +45,7 @@ import numpy as np
 _SQLITE_MAGIC = b"SQLite format 3\x00"
 
 
-class SakuraPage:
-    """Level descriptor with the TiffPage-compatible attributes ``Slide``
-    reads (see io/mirax.py: MiraxPage)."""
-
-    def __init__(self, width, height, tile_width, tile_height):
-        self.width = int(width)
-        self.height = int(height)
-        self.tile_width = int(tile_width)
-        self.tile_height = int(tile_height)
-        self.description = ""
-        self.compression = 7  # JPEG blobs
-        self.tag_ids = ()
-        self.x_resolution = 0.0
-        self.resolution_unit = 2
+from .pageinfo import SyntheticPage as SakuraPage  # noqa: E402
 
 
 class SakuraReader:
@@ -66,6 +54,9 @@ class SakuraReader:
         # read-only URI: never create or lock a slide file
         self._db = sqlite3.connect(
             f"file:{self.path}?mode=ro", uri=True, check_same_thread=False)
+        # one connection shared by the engine's loader threads: serialize
+        # blob fetches (JPEG decode — the expensive part — runs unlocked)
+        self._db_lock = threading.Lock()
         self._table = self._tile_table()
         meta = self._scan_metadata()
         self.width, self.height = meta["width"], meta["height"]
@@ -108,17 +99,18 @@ class SakuraReader:
         self._assoc = self._associated_oids()
         # expose label/macro as pseudo-pages after the pyramid so the Slide
         # wrapper can surface them via associated_images (io/hamamatsu.py
-        # uses the same page-extension pattern)
+        # uses the same page-extension pattern).  Only the JPEG HEADER is
+        # parsed here (PIL reads dimensions lazily); the pixels are decoded
+        # on first access — a corrupt associated blob must not make an
+        # intact pyramid unopenable, and open stays cheap.
         self.n_levels = len(self.pages)
-        self._assoc_arrays = []
+        self._assoc_cache: Dict[str, np.ndarray] = {}
         self.assoc_names = []
         for name in list(self._assoc):
-            arr = self.read_associated(name)
-            if arr is not None:
-                self._assoc_arrays.append(arr)
+            size = self._assoc_size(name)
+            if size is not None:
                 self.assoc_names.append(name)
-                self.pages.append(SakuraPage(
-                    arr.shape[1], arr.shape[0], 0, 0))
+                self.pages.append(SakuraPage(size[0], size[1], 0, 0))
         self.bounds = None
 
     # -- schema helpers -----------------------------------------------------
@@ -172,30 +164,54 @@ class SakuraReader:
                 out[name] = int(oid)
         return out
 
-    def read_associated(self, name: str) -> Optional[np.ndarray]:
-        """Decode the label/macro JPEG from SVScannedImageDataXPO, if any."""
+    def _assoc_blob(self, name: str) -> Optional[bytes]:
         oid = self._assoc.get(name)
         if oid is None:
             return None
         try:
-            row = self._db.execute(
-                "SELECT m_image FROM SVScannedImageDataXPO WHERE OID = ?",
-                (oid,)).fetchone()
+            with self._db_lock:
+                row = self._db.execute(
+                    "SELECT m_image FROM SVScannedImageDataXPO WHERE OID = ?",
+                    (oid,)).fetchone()
         except sqlite3.Error:
             return None
-        if not row or row[0] is None:
+        return row[0] if row else None
+
+    def _assoc_size(self, name: str) -> Optional[Tuple[int, int]]:
+        """(width, height) from the JPEG header only — no pixel decode."""
+        blob = self._assoc_blob(name)
+        if blob is None:
             return None
         from PIL import Image
 
-        img = Image.open(BytesIO(row[0]))
-        return np.asarray(img.convert("RGB"), np.uint8)
+        try:
+            return Image.open(BytesIO(blob)).size
+        except Exception:
+            return None  # corrupt associated image: skip, keep the pyramid
+
+    def read_associated(self, name: str) -> Optional[np.ndarray]:
+        """Decode the label/macro JPEG from SVScannedImageDataXPO, if any.
+        Decoded lazily (``Slide.associated_images`` contract) and cached."""
+        arr = self._assoc_cache.get(name)
+        if arr is not None:
+            return arr
+        blob = self._assoc_blob(name)
+        if blob is None:
+            return None
+        from PIL import Image
+
+        img = Image.open(BytesIO(blob))
+        arr = np.asarray(img.convert("RGB"), np.uint8)
+        self._assoc_cache[name] = arr
+        return arr
 
     # -- pixels ---------------------------------------------------------------
 
     def _fetch(self, tid: str) -> Optional[bytes]:
-        row = self._db.execute(
-            f'SELECT data FROM "{self._table}" WHERE id = ?', (tid,)
-        ).fetchone()
+        with self._db_lock:
+            row = self._db.execute(
+                f'SELECT data FROM "{self._table}" WHERE id = ?', (tid,)
+            ).fetchone()
         return row[0] if row else None
 
     def _decode_tile(self, x0: int, y0: int, zoom: int) -> Optional[np.ndarray]:
@@ -222,7 +238,8 @@ class SakuraReader:
                     h: int) -> np.ndarray:
         """(h, w, 3) uint8 at ``level``; x/y are level-``level`` pixels."""
         if level >= self.n_levels:  # label/macro pseudo-page
-            arr = self._assoc_arrays[level - self.n_levels]
+            arr = self.read_associated(
+                self.assoc_names[level - self.n_levels])
             return arr[y:y + h, x:x + w]
         zoom = self.zooms[level]
         out = np.full((h, w, 3), 255, np.uint8)  # absent tiles are white

@@ -241,6 +241,11 @@ class Slide:
     def _parse_properties(self) -> dict:
         props = dict(getattr(self._r, "properties", {}) or {})
         desc = self._pages[0].description or ""
+        if desc.lstrip().startswith("<"):
+            # XML description (Leica SCN, Philips, Ventana): already parsed
+            # by the vendor reader into _vendor_props — the Aperio-style
+            # key=value scrape below would shred the XML into garbage keys
+            desc = ""
         for part in desc.replace("\n", "|").split("|"):
             if "=" in part:
                 k, _, v = part.partition("=")

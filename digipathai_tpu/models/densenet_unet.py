@@ -135,13 +135,13 @@ class DenseNet121UNet(nn.Module):
             chunks = [x]
             pend: list = []  # 32-ch layer outputs not yet packed
 
-            def conv_p(xs, k):
+            def conv_p(xs, k, pet=None):
                 import jax.lax as lax
 
                 return lax.conv_general_dilated(
                     xs, k.astype(dt), (1, 1), "SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=dt)
+                    preferred_element_type=pet or dt)
 
             for i in range(n):
                 ln = f"{name}_block{i + 1}"
@@ -152,15 +152,21 @@ class DenseNet121UNet(nn.Module):
                 k1, _ = ConvParams((1, 1, C, 4 * self.growth),
                                    kernel_init=lecun, use_bias=False,
                                    name=f"{ln}_1_conv")()
+                # partial sums accumulate in f32 and round to the compute
+                # dtype ONCE, matching the canonical single conv's rounding
+                # regime (per-slice bf16 rounding would make the "same
+                # math" claim false in the production bf16 path)
                 acc = None
                 off = 0
                 for t in parts:
                     c = t.shape[-1]
                     h = nn.relu(t * mul0[off:off + c].astype(dt)
                                 + add0[off:off + c].astype(dt))
-                    p = conv_p(h, k1[:, :, off:off + c, :])
+                    p = conv_p(h, k1[:, :, off:off + c, :],
+                               pet=jnp.float32)
                     acc = p if acc is None else acc + p
                     off += c
+                acc = acc.astype(dt)
                 mul1, add1 = BNParams(4 * self.growth, epsilon=BN_EPS_DENSE,
                                       name=f"{ln}_1_bn")()
                 k2, _ = ConvParams((3, 3, 4 * self.growth, self.growth),

@@ -93,9 +93,17 @@ def available_models():
     return sorted(_REGISTRY)
 
 
-def build_model(name: str, **kw) -> ModelBundle:
-    for key, builder in _REGISTRY.items():
+def resolve_model_name(name: str) -> str:
+    """Canonical registry key for ``name`` (substring dispatch, mirroring
+    the reference's ``load_trained_models`` matching).  The returned key is
+    what ``build_model(name).name`` will be — callers keying per-model state
+    must use it, not the raw user string."""
+    for key in _REGISTRY:
         if key in name:
-            return builder(**kw)
+            return key
     raise ValueError(
         f"Unknown model {name!r}, allowed models {available_models()}")
+
+
+def build_model(name: str, **kw) -> ModelBundle:
+    return _REGISTRY[resolve_model_name(name)](**kw)

@@ -13,6 +13,22 @@ def _param_count(variables):
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
 
 
+class TestRegistry:
+    def test_substring_dispatch_resolves_to_canonical_key(self):
+        """The reference dispatches models by name substring
+        (``reference helpers/utils.py:427-448``); the engine keys per-model
+        state by the CANONICAL registry key, so alias names must resolve
+        to it (a raw-string key made tile mode's deeplab rebuild KeyError
+        on aliases like 'my_deeplabv3')."""
+        from digipathai_tpu.models.registry import resolve_model_name
+
+        assert resolve_model_name("my_deeplabv3") == "deeplabv3"
+        assert resolve_model_name("dense_v2") == "dense"
+        assert build_model("my_deeplabv3").name == "deeplabv3"
+        with pytest.raises(ValueError):
+            resolve_model_name("resnet50")
+
+
 class TestTinyUNet:
     def test_forward_shape_and_softmax(self):
         b = build_model("tiny")
@@ -86,6 +102,26 @@ class TestDenseNetUNet:
         t1 = jax.tree_util.tree_structure(variables)
         t2 = jax.tree_util.tree_structure(v2)
         assert t1 == t2
+
+    def test_chunked_encoder_bf16_rounding_regime(self):
+        """In the PRODUCTION bf16 path the chunked encoder must stay on the
+        canonical path's rounding regime: 1x1 partial sums accumulate in
+        f32 and round once (densenet_unet.dense_block_chunked), so bf16
+        outputs track the canonical single-conv results to within ordinary
+        bf16 noise rather than drifting by per-slice rounding x 58 layers."""
+        chunk = build_model("dense", dtype=jnp.bfloat16,
+                            chunked_encoder=True)
+        canon = build_model("dense", dtype=jnp.bfloat16,
+                            chunked_encoder=False)
+        variables = chunk.init(64)
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        y_chunked = np.asarray(chunk.apply(variables, x), np.float32)
+        y_canon = np.asarray(canon.apply(variables, x), np.float32)
+        # remaining delta is pure bf16 summation-order noise (measured max
+        # |dP| ~5e-3 on random init); per-slice bf16 rounding would not hold
+        # this bound
+        np.testing.assert_allclose(y_chunked, y_canon, atol=1e-2)
 
 
 class TestPackedHeads:
