@@ -390,8 +390,7 @@ def getSegmentation(img_path,
                 mean_map[my:my + wy, mx:mx + wx] += host[0, :wy, :wx]
                 if fetch_planes > 1:
                     var_map[my:my + wy, mx:mx + wx] += host[1, :wy, :wx]
-                add_counts_host(count_map, g.coords, g.valid, g.origin,
-                                patch_size)
+                add_counts_host(count_map, g.coords, g.valid, patch_size)
             completed.add(gi)
             save_state()  # clears the inflight taint
 

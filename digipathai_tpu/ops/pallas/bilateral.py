@@ -120,7 +120,7 @@ def bilateral_message_pallas(q, image, sigma_xy: float, sigma_rgb: float,
     inv2_xy = np.float32(0.5 / (sigma_xy * sigma_xy))
     inv2_c = np.float32(0.5 / (sigma_rgb * sigma_rgb))
 
-    def to_planar(x, channels):
+    def to_planar(x):
         # (H, W, C) -> (C, rows, Wp) with the real data at rows [r, r+h)
         # and columns [r, r+w); bottom padding covers the last strip's DMA
         x = jnp.transpose(x.astype(jnp.float32), (2, 0, 1))
@@ -128,9 +128,9 @@ def bilateral_message_pallas(q, image, sigma_xy: float, sigma_rgb: float,
                            (r, r + h_pad - h + extra_rows),
                            (r, Wp - w - r)))
 
-    qp = to_planar(q, 2)
-    valid = to_planar(jnp.ones((h, w, 1), jnp.float32), 1)
-    fp = jnp.concatenate([to_planar(image, 3), valid], axis=0)
+    qp = to_planar(q)
+    valid = to_planar(jnp.ones((h, w, 1), jnp.float32))
+    fp = jnp.concatenate([to_planar(image), valid], axis=0)
 
     kernel = functools.partial(_kernel, BH=BH, Wp=Wp, r=r, strip_h=strip_h,
                                inv2_xy=inv2_xy, inv2_c=inv2_c)

@@ -59,11 +59,11 @@ def make_accumulator(supertile: int, patch: int, planes: int = 3) -> jnp.ndarray
     return jnp.zeros((planes, supertile + patch, supertile + patch), jnp.float32)
 
 
-def add_counts_host(count_map, coords, valid, origin, patch: int):
+def add_counts_host(count_map, coords, valid, patch: int):
     """Analytic count-plane accumulation on the host, vectorized.
 
-    ``count_map`` is the (Y, X) memmap; ``coords`` are level-0 (x, y) patch
-    top-lefts.  Equivalent to stitching a ones-plane on device, minus the
+    ``count_map`` is the (Y, X) memmap; ``coords`` are ABSOLUTE level-0
+    (x, y) patch top-lefts (no supertile-origin offset is applied).  Equivalent to stitching a ones-plane on device, minus the
     HBM->host transfer of a full accumulator plane.
 
     Each patch is a +1 rectangle, so the group's counts are a 2D difference
@@ -102,8 +102,8 @@ def add_counts_host(count_map, coords, valid, origin, patch: int):
         # hit this — they have ~2 * supertile/stride breakpoints)
         lo = ys <= np.median(ys)
         ones = np.ones(len(coords), bool)
-        add_counts_host(count_map, coords[lo], ones[lo], origin, patch)
-        add_counts_host(count_map, coords[~lo], ones[~lo], origin, patch)
+        add_counts_host(count_map, coords[lo], ones[lo], patch)
+        add_counts_host(count_map, coords[~lo], ones[~lo], patch)
         return
     ia = np.searchsorted(bps, ya)
     ib = np.searchsorted(bps, yb)

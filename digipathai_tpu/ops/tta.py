@@ -56,13 +56,16 @@ def invert(batch: jnp.ndarray, tta: str) -> jnp.ndarray:
 
 
 def resolve_tta_list(tta_list) -> List[str]:
-    """'DEFAULT' is always prepended (``reference Segmentation.py:95-99``)."""
+    """'DEFAULT' is always prepended (``reference Segmentation.py:95-99``).
+
+    An explicit 'DEFAULT' in the caller's list is accepted and deduped
+    (the reference treats it as a no-op transform rather than an error)."""
     if tta_list is None:
         return [DEFAULT]
     for t in tta_list:
-        if t not in ALLOWED:
+        if t not in ALLOWED and t != DEFAULT:
             raise ValueError(f"unknown TTA {t!r}; allowed: {list(ALLOWED)}")
-    return [DEFAULT] + list(tta_list)
+    return [DEFAULT] + [t for t in tta_list if t != DEFAULT]
 
 
 def effective_transforms(tta_list: Sequence[str], faithful: bool = False) -> List[List[str]]:

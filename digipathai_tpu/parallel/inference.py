@@ -14,6 +14,7 @@ and padding patches are masked out.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence
 
 import jax
@@ -42,6 +43,14 @@ def make_dp_mesh(n_devices=None) -> Mesh:
 
     devices = jax.local_devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # mirror make_mesh (parallel/mesh.py): a silent truncation
+            # would run "parallel" work on fewer chips with no signal
+            raise ValueError(
+                f"requested a {n_devices}-device dp mesh but only "
+                f"{len(devices)} local devices are visible "
+                f"(set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                f"with JAX_PLATFORMS=cpu to fake a topology)")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("dp",))
 
@@ -94,11 +103,18 @@ def make_sharded_accumulator(mesh: Mesh, supertile: int, patch: int,
     return jax.device_put(acc, NamedSharding(mesh, P("dp")))
 
 
+@functools.lru_cache(maxsize=8)
+def _reducer(mesh: Mesh):
+    # cached per mesh: jax.jit keys on callable identity, so building the
+    # lambda inside reduce_accumulator would retrace + recompile on EVERY
+    # supertile flush (remote compiles are minutes each on the axon relay)
+    return jax.jit(lambda a: jnp.sum(a, axis=0),
+                   out_shardings=NamedSharding(mesh, P()))
+
+
 def reduce_accumulator(mesh: Mesh, acc):
     """Sum per-device accumulators -> one (3, S+P, S+P) array (ICI all-reduce)."""
-    fn = jax.jit(lambda a: jnp.sum(a, axis=0),
-                 out_shardings=NamedSharding(mesh, P()))
-    return fn(acc)
+    return _reducer(mesh)(acc)
 
 
 def shard_batch(mesh: Mesh, patches, offsets, valid):
