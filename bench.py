@@ -175,8 +175,9 @@ def bench_tile(names, tta, patch):
     pheads = int(os.environ.get("DPAI_BENCH_PHEADS", -1))
     # A/B the progressive decoder halo crop (models' halo_crop; exact)
     hcrop = int(os.environ.get("DPAI_BENCH_HCROP", -1))
-    # A/B the host-packed s2d stem (models' s2d_stem + packed TTA; exact)
-    s2dstem = os.environ.get("DPAI_BENCH_S2DSTEM") == "1"
+    # A/B the host-packed s2d stem (models' s2d_stem + packed TTA; exact):
+    # 1 = 2x2 pack (stem conv only), 2 = 4x4 pack (whole stem packed)
+    s2dstem = int(os.environ.get("DPAI_BENCH_S2DSTEM", 0))
 
     def model_kw(n):
         kw = {"quantized": True} if quant else {}
@@ -203,7 +204,7 @@ def bench_tile(names, tta, patch):
                 # inception_unet.py)
                 kw["trunc_last"] = int(os.environ["DPAI_BENCH_TRUNC"])
         if s2dstem:
-            kw["s2d_stem"] = True
+            kw["s2d_stem"] = s2dstem
         return kw
 
     bundles = [build_model(n, dtype=jnp.bfloat16, **model_kw(n))
@@ -215,10 +216,10 @@ def bench_tile(names, tta, patch):
     tile_u8 = rng.integers(0, 255, (tile + 2 * halo, tile + 2 * halo, 3),
                            np.uint8)
     if s2dstem:
-        # what the loader ships in s2d mode: host-packed (H/2, W/2, 12)
+        # what the loader ships in s2d mode: host-packed (H/P, W/P, 3P^2)
         from digipathai_tpu.ops.s2d_input import pack_host
 
-        tile_u8 = pack_host(tile_u8)
+        tile_u8 = pack_host(tile_u8, s2dstem)
     tile_u8 = jnp.asarray(tile_u8)
 
     def run():

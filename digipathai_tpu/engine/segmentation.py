@@ -109,7 +109,7 @@ def getSegmentation(img_path,
                     tile_local_aspp: bool = True,
                     spatial_shard="auto",
                     decoder_halo_crop: bool = False,
-                    s2d_input: bool = False,
+                    s2d_input: bool | int = False,
                     s2d_decoder: bool = False,
                     wpack: bool = False,
                     fused_stages: int = 0,
@@ -186,9 +186,11 @@ def getSegmentation(img_path,
             kw["halo_crop"] = patch_size // 2
         if (s2d_input and inference_mode == "tile"
                 and key in ("dense", "inception", "deeplabv3")):
-            # host-packed s2d input: the loader ships 2x2-packed tiles and
-            # the C=3 stems run in the packed domain (ops/s2d_input.py)
-            kw["s2d_stem"] = True
+            # host-packed s2d input: the loader ships packed tiles and the
+            # narrow stem convs run in the packed domain (ops/s2d_input.py).
+            # True/1: 2x2 pack (stem conv only); 2: 4x4 pack — the whole
+            # stem (all narrow convs through the first pool) runs packed
+            kw["s2d_stem"] = int(s2d_input)
         b = build_model(name, dtype=compute_dtype, **kw)
         bundles.append(b)
         model_kws[b.name] = kw

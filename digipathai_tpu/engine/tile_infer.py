@@ -94,10 +94,11 @@ def build_model_tile_steps(bundles: Sequence, tta_list: Sequence[str],
     chains = tta_ops.effective_transforms(tta_list, faithful=faithful_tta)
 
     def make_step(bundle):
-        # s2d_stem models take the 2x2-packed (H/2, W/2, 12) tile the host
-        # loader ships; TTA then runs in the packed domain (spatial
-        # transform + phase-channel permutation — ops/s2d_input.py)
-        packed = bool(getattr(bundle.module, "s2d_stem", False))
+        # s2d_stem models take the packed tile the host loader ships
+        # (level 1: (H/2, W/2, 12); level 2: (H/4, W/4, 48)); TTA then
+        # runs in the packed domain (spatial transform + phase-channel
+        # permutation — ops/s2d_input.py)
+        lvl = int(getattr(bundle.module, "s2d_stem", 0) or 0)
 
         def step(variables, tile_u8):
             x = normalize_patches(tile_u8[None], dtype=compute_dtype)
@@ -107,8 +108,11 @@ def build_model_tile_steps(bundles: Sequence, tta_list: Sequence[str],
             # crop is a center crop of a square tile, so it commutes with
             # every dihedral TTA transform and can happen inside the body,
             # before the (outside-of-scan, per-chain static) inversion.
-            if packed:
-                from ..ops.s2d_input import apply_chain_packed as _chain
+            if lvl:
+                import functools
+
+                from ..ops.s2d_input import apply_chain_packed
+                _chain = functools.partial(apply_chain_packed, level=lvl)
             else:
                 _chain = tta_ops.apply_chain
             xts = jnp.concatenate(
@@ -229,18 +233,18 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
     use_sp = sp_possible and (
         (spatial_shard is True)
         or (spatial_shard == "auto" and len(todo) < len(devices)))
-    packed_flags = {bool(getattr(b.module, "s2d_stem", False))
-                    for b in bundles}
-    if len(packed_flags) > 1:
+    packed_lvls = {int(getattr(b.module, "s2d_stem", 0) or 0)
+                   for b in bundles}
+    if len(packed_lvls) > 1:
         raise ValueError("s2d_stem must be uniform across the ensemble")
-    packed = packed_flags == {True}
-    if use_sp and packed:
+    packed_lvl = packed_lvls.pop()
+    if use_sp and packed_lvl:
         # the sp path shards the raw tile over the mesh; keep it on the
         # canonical stem (same params — s2d_stem is compute-only)
         from ..models.registry import ModelBundle
-        bundles = [ModelBundle(b.name, b.module.clone(s2d_stem=False))
+        bundles = [ModelBundle(b.name, b.module.clone(s2d_stem=0))
                    for b in bundles]
-        packed = False
+        packed_lvl = 0
     if not use_sp:
         steps, combine, _ = build_model_tile_steps(
             bundles, tta_full, S, halo, compute_dtype=compute_dtype,
@@ -332,11 +336,11 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
             region = slide.read_region((ox - halo, oy - halo), 0,
                                        (S + 2 * halo, S + 2 * halo))
             tile_xyc = np.ascontiguousarray(np.transpose(region, (1, 0, 2)))
-            if packed:
-                # host-side 2x2 s2d pack (ops/s2d_input.py): the stem lever
+            if packed_lvl:
+                # host-side s2d pack (ops/s2d_input.py): the stem lever
                 from ..ops.s2d_input import pack_host
 
-                tile_xyc = pack_host(tile_xyc)
+                tile_xyc = pack_host(tile_xyc, packed_lvl)
             ctx = timer.stage("infer") if timer else _null()
             with ctx:
                 tile_dev = jax.device_put(tile_xyc, dev)

@@ -44,10 +44,14 @@ class DeepLabV3Plus(nn.Module):
     aspp_pool_window: int = 0
     # int8 inference for the wide convs (opt-in, see models/quant.py)
     quantized: bool = False
-    # Input arrives 2x2-space-to-depth packed (N, H/2, W/2, 12) and the
-    # 3x3/2 entry conv runs as a stride-1 conv with the re-indexed kernel —
-    # exact, same params (ops/s2d_input.py; see densenet_unet.s2d_stem).
-    s2d_stem: bool = False
+    # Input arrives space-to-depth packed (level 1: (N, H/2, W/2, 12);
+    # level 2: (N, H/4, W/4, 48)) and the narrow entry convs run on the
+    # packed grid with re-indexed kernels — exact, same params
+    # (ops/s2d_input.py; see densenet_unet.s2d_stem).  At level 2 BOTH
+    # entry convs (3->32/2 and 32->64 at 4352^2/2176^2) run as dense
+    # phase-packed convs (48->128, 128->256 at 1088^2); the packing is
+    # unpacked before the first (depthwise) Xception block.
+    s2d_stem: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -132,40 +136,72 @@ class DeepLabV3Plus(nn.Module):
 
         x = x.astype(self.dtype)
         B, H, W, _ = x.shape
-        s2ds = self.s2d_stem and not train
+        s2ds = int(self.s2d_stem) if not train else 0
         if s2ds:
-            assert x.shape[-1] == 12, \
-                "s2d_stem expects a 2x2-packed (N, H/2, W/2, 12) input"
-            H, W = 2 * H, 2 * W  # logical (full-res) size for the head
+            assert x.shape[-1] == 3 * 4 ** s2ds, \
+                f"s2d_stem={s2ds} expects a packed (N, H/{2**s2ds}, " \
+                f"W/{2**s2ds}, {3 * 4**s2ds}) input"
+            # logical (full-res) size for the head
+            H, W = H * 2 ** s2ds, W * 2 ** s2ds
 
         # --- entry flow ---
-        if s2ds:
-            # packed-input entry conv: same params, kernel re-indexed for
-            # the s2d grid (3x3/2 SAME -> 2x2/1 over 12ch; ops/s2d_input.py)
+        if s2ds == 2:
+            # level-2 packed entry: conv1_1 emits a LEVEL-1 PACKED output
+            # and conv1_2 stays on the packed grid as a dense 128->256-lane
+            # conv; BN+relu apply phase-tiled.  Unpacked before the first
+            # (depthwise) Xception block.
             import jax.lax as lax
 
-            from ..ops.s2d_input import stem_kernel_s2d
+            from ..ops.s2d_input import (bn_packed, conv_kernel_packed,
+                                         unpack)
             from .s2d_decoder import BNParams, ConvParams
 
-            k, _ = ConvParams((3, 3, 3, 32),
-                              kernel_init=nn.initializers.lecun_normal(),
-                              use_bias=False, name="entry_flow_conv1_1")()
-            k2, pads = stem_kernel_s2d(k, 0)
-            y = lax.conv_general_dilated(
-                x, k2.astype(self.dtype), (1, 1), pads,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=self.dtype)
-            m, a = BNParams(32, epsilon=1e-3,
-                            name="entry_flow_conv1_1_BN")()
-            y = y * m.astype(y.dtype) + a.astype(y.dtype)
+            def packed_cb(y, cin, cout, name, stride, level):
+                k, _ = ConvParams((3, 3, cin, cout),
+                                  kernel_init=nn.initializers.lecun_normal(),
+                                  use_bias=False, name=name)()
+                k2, pads, _ = conv_kernel_packed(
+                    k, stride, 0 if stride == 2 else 1, level)
+                y = lax.conv_general_dilated(
+                    y, k2.astype(self.dtype), (1, 1), pads,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype)
+                m, a = BNParams(cout, epsilon=1e-3, name=name + "_BN")()
+                return nn.relu(y * bn_packed(m, 1).astype(y.dtype)
+                               + bn_packed(a, 1).astype(y.dtype))
+
+            y = packed_cb(x, 3, 32, "entry_flow_conv1_1", 2, 2)
+            y = packed_cb(y, 32, 64, "entry_flow_conv1_2", 1, 1)
+            y = unpack(y)
         else:
-            y = conv(32, (3, 3), strides=(2, 2), padding="SAME",
-                     name="entry_flow_conv1_1")(x)
-            y = bn(epsilon=1e-3, name="entry_flow_conv1_1_BN")(y)
-        y = nn.relu(y)
-        y = conv2d_same(y, 64, "entry_flow_conv1_2", kernel=3, stride=1)
-        y = bn(epsilon=1e-3, name="entry_flow_conv1_2_BN")(y)
-        y = nn.relu(y)
+            if s2ds:
+                # packed-input entry conv: same params, kernel re-indexed
+                # for the s2d grid (3x3/2 SAME -> 2x2/1 over 12ch;
+                # ops/s2d_input.py)
+                import jax.lax as lax
+
+                from ..ops.s2d_input import stem_kernel_s2d
+                from .s2d_decoder import BNParams, ConvParams
+
+                k, _ = ConvParams((3, 3, 3, 32),
+                                  kernel_init=nn.initializers.lecun_normal(),
+                                  use_bias=False, name="entry_flow_conv1_1")()
+                k2, pads = stem_kernel_s2d(k, 0)
+                y = lax.conv_general_dilated(
+                    x, k2.astype(self.dtype), (1, 1), pads,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype)
+                m, a = BNParams(32, epsilon=1e-3,
+                                name="entry_flow_conv1_1_BN")()
+                y = y * m.astype(y.dtype) + a.astype(y.dtype)
+            else:
+                y = conv(32, (3, 3), strides=(2, 2), padding="SAME",
+                         name="entry_flow_conv1_1")(x)
+                y = bn(epsilon=1e-3, name="entry_flow_conv1_1_BN")(y)
+            y = nn.relu(y)
+            y = conv2d_same(y, 64, "entry_flow_conv1_2", kernel=3, stride=1)
+            y = bn(epsilon=1e-3, name="entry_flow_conv1_2_BN")(y)
+            y = nn.relu(y)
 
         y = xception_block(y, [128, 128, 128], "entry_flow_block1",
                            "conv", stride=2)

@@ -80,12 +80,17 @@ class DenseNet121UNet(nn.Module):
     # the two most expensive (highest-res) decoder stages at halo 128 /
     # tile 4096.  Inference only; 0 disables (patch mode).
     halo_crop: int = 0
-    # Input arrives 2x2-space-to-depth packed — (N, H/2, W/2, 12), layout
-    # (row-phase, col-phase, c) — and the 7x7/2 stem runs as a stride-1
-    # conv with the re-indexed kernel (ops/s2d_input.py).  Exact, same
-    # parameters; kills the C=3 stem conv pathology (39.6 -> ~19 ms per
-    # tile-4096 forward) when the LOADER packs on host.  Inference only.
-    s2d_stem: bool = False
+    # Input arrives space-to-depth packed by the LOADER and the stem runs
+    # on the packed grid with re-indexed kernels (ops/s2d_input.py).  Exact,
+    # same parameters; kills the C=3 stem conv pathology.  Inference only.
+    # Level 1: (N, H/2, W/2, 12) input, 7x7/2 stem -> stride-1 4x4 conv
+    #   (39.6 -> ~19 ms per tile-4096 forward).
+    # Level 2: (N, H/4, W/4, 48) input; the stem conv emits a LEVEL-1
+    #   PACKED output (1088^2 x 256 at tile 4096: full 128-lane K/N
+    #   occupancy instead of K=27/N=64), the BN+relu apply phase-tiled,
+    #   and the 3x3/2 maxpool consumes the packing
+    #   (``maxpool3s2_consume``); only the conv1 skip pays one unpack.
+    s2d_stem: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -239,37 +244,66 @@ class DenseNet121UNet(nn.Module):
         x = x.astype(self.dtype)
         if self.chunked_encoder and not train and not self.quantized:
             dense_block = dense_block_chunked  # noqa: F811 — exact swap
-        s2ds = self.s2d_stem and not train
+        s2ds = int(self.s2d_stem) if not train else 0
         if s2ds:
-            assert x.shape[-1] == 12, \
-                "s2d_stem expects a 2x2-packed (N, H/2, W/2, 12) input"
+            assert x.shape[-1] == 3 * 4 ** s2ds, \
+                f"s2d_stem={s2ds} expects a packed (N, H/{2**s2ds}, " \
+                f"W/{2**s2ds}, {3 * 4**s2ds}) input"
 
         # --- encoder (DenseNet-121) ---
-        if s2ds:
-            # packed-input stem: same 'conv1__conv' parameters, re-indexed
-            # for the s2d grid (pad 3 + 7x7/2 VALID -> 4x4/1 over 12ch)
+        if s2ds == 2:
+            # level-2 packed stem: the 7x7/2 conv runs 48ch -> 256ch
+            # (level-1-packed 64) on the quarter-res grid, BN+relu apply
+            # phase-tiled, and the maxpool consumes the remaining packing
+            # (exact; zero-pad == -inf pad after relu).  Only the conv1
+            # skip pays an unpack.
             import jax.lax as lax
 
-            from ..ops.s2d_input import stem_kernel_s2d
-            from .s2d_decoder import ConvParams
+            from ..ops.s2d_input import (bn_packed, conv_kernel_packed,
+                                         maxpool3s2_consume, unpack)
+            from .s2d_decoder import BNParams, ConvParams
 
             k, _ = ConvParams((7, 7, 3, 64),
                               kernel_init=nn.initializers.lecun_normal(),
                               use_bias=False, name="conv1__conv")()
-            k2, pads = stem_kernel_s2d(k, 3)
+            k2, pads, _ = conv_kernel_packed(k, 2, 3, 2)
             y = lax.conv_general_dilated(
                 x, k2.astype(self.dtype), (1, 1), pads,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=self.dtype)
+            mul, add = BNParams(64, epsilon=BN_EPS_DENSE,
+                                name="conv1__bn")()
+            y = nn.relu(y * bn_packed(mul, 1).astype(y.dtype)
+                        + bn_packed(add, 1).astype(y.dtype))
+            conv1 = unpack(y)
+            y = maxpool3s2_consume(y, 1, 0.0)
         else:
-            y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-            y = conv(64, (7, 7), strides=(2, 2), padding="VALID",
-                     use_bias=False, name="conv1__conv")(y)
-        y = bn(epsilon=BN_EPS_DENSE, name="conv1__bn")(y)
-        y = nn.relu(y)
-        conv1 = y
-        y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="VALID")
+            if s2ds:
+                # packed-input stem: same 'conv1__conv' parameters,
+                # re-indexed for the s2d grid (pad 3 + 7x7/2 VALID ->
+                # 4x4/1 over 12ch)
+                import jax.lax as lax
+
+                from ..ops.s2d_input import stem_kernel_s2d
+                from .s2d_decoder import ConvParams
+
+                k, _ = ConvParams((7, 7, 3, 64),
+                                  kernel_init=nn.initializers.lecun_normal(),
+                                  use_bias=False, name="conv1__conv")()
+                k2, pads = stem_kernel_s2d(k, 3)
+                y = lax.conv_general_dilated(
+                    x, k2.astype(self.dtype), (1, 1), pads,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype)
+            else:
+                y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+                y = conv(64, (7, 7), strides=(2, 2), padding="VALID",
+                         use_bias=False, name="conv1__conv")(y)
+            y = bn(epsilon=BN_EPS_DENSE, name="conv1__bn")(y)
+            y = nn.relu(y)
+            conv1 = y
+            y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="VALID")
         npb = int(self.pallas_blocks) if not train else 0
         y = dense_block(y, self.blocks[0], "conv2", use_pallas=npb >= 1)
         conv2 = y
@@ -327,7 +361,7 @@ class DenseNet121UNet(nn.Module):
         if (train or trunc or n_s2d or n_fs or self.wpack
                 or self.fused_decoder or hc % 32 or hc < 64):
             hc = 0
-        h_full = x.shape[1] * (2 if s2ds else 1)
+        h_full = x.shape[1] * 2 ** s2ds
         fresh = h_full - 2 * hc
 
         def crop_to(y, margin, scale):

@@ -61,10 +61,15 @@ class InceptionResNetV2UNet(nn.Module):
     # computed above the bottleneck — receptive-field-exact, see
     # densenet_unet.DenseNet121UNet.halo_crop.  Inference only; 0 disables.
     halo_crop: int = 0
-    # Input arrives 2x2-space-to-depth packed (N, H/2, W/2, 12) and the
-    # 3x3/2 stem1 runs as a stride-1 conv with the re-indexed kernel —
-    # exact, same params (ops/s2d_input.py; see densenet_unet.s2d_stem).
-    s2d_stem: bool = False
+    # Input arrives space-to-depth packed (level 1: (N, H/2, W/2, 12);
+    # level 2: (N, H/4, W/4, 48)) and the stem runs on the packed grid
+    # with re-indexed kernels — exact, same params (ops/s2d_input.py; see
+    # densenet_unet.s2d_stem).  At level 2 ALL THREE narrow stem convs
+    # (3->32/2, 32->32, 32->64 at 4352^2/2176^2 for tile 4096 — the
+    # encoder fat per the round-3 trunc attribution) run as dense
+    # phase-packed convs (48->128, 128->128, 128->256 at 1088^2) with
+    # full MXU lane occupancy; the 3x3/2 maxpool consumes the packing.
+    s2d_stem: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -234,33 +239,62 @@ class InceptionResNetV2UNet(nn.Module):
             return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         x = x.astype(self.dtype)
-        s2ds = self.s2d_stem and not train
+        s2ds = int(self.s2d_stem) if not train else 0
         if s2ds:
-            assert x.shape[-1] == 12, \
-                "s2d_stem expects a 2x2-packed (N, H/2, W/2, 12) input"
+            assert x.shape[-1] == 3 * 4 ** s2ds, \
+                f"s2d_stem={s2ds} expects a packed (N, H/{2**s2ds}, " \
+                f"W/{2**s2ds}, {3 * 4**s2ds}) input"
 
         # --- stem ---
-        if s2ds:
-            # packed-input stem1: same params (cb declares the canonical
-            # conv+BN tree), kernel re-indexed for the s2d grid
-            # (3x3/2 SAME -> 2x2/1 over 12ch; ops/s2d_input.py)
+        if s2ds == 2:
+            # level-2 packed stem: stem1 emits a LEVEL-1 PACKED output and
+            # stem2/stem3 stay on the packed grid as dense 128/256-lane
+            # convs; BN+relu apply phase-tiled and the maxpool consumes the
+            # packing (exact — nn.max_pool SAME pads -inf on the even
+            # input, pad_before 0).  Only the conv1 skip pays one unpack.
             import jax.lax as lax
 
-            from ..ops.s2d_input import stem_kernel_s2d
+            from ..ops.s2d_input import (bn_packed, conv_kernel_packed,
+                                         maxpool3s2_consume, unpack)
 
-            k, m, a = cb(3, 32, 3)
-            k2, pads = stem_kernel_s2d(k, 0)
-            y = lax.conv_general_dilated(
-                x, k2.astype(self.dtype), (1, 1), pads,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=self.dtype)
-            y = nn.relu(y * m.astype(y.dtype) + a.astype(y.dtype))
+            def packed_cb(y, cin, cout, stride, level):
+                k, m, a = cb(cin, cout, 3)
+                k2, pads, _ = conv_kernel_packed(k, stride, 0 if stride == 2
+                                                 else 1, level)
+                y = lax.conv_general_dilated(
+                    y, k2.astype(self.dtype), (1, 1), pads,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype)
+                return nn.relu(y * bn_packed(m, 1).astype(y.dtype)
+                               + bn_packed(a, 1).astype(y.dtype))
+
+            y = packed_cb(x, 3, 32, 2, 2)     # (H/4, W/4, 4*32)
+            y = packed_cb(y, 32, 32, 1, 1)
+            y = packed_cb(y, 32, 64, 1, 1)    # (H/4, W/4, 4*64)
+            conv1 = unpack(y)
+            y = maxpool3s2_consume(y, 0, float("-inf"))
         else:
-            y = conv2d_bn(x, 32, 3, strides=2)
-        y = conv2d_bn(y, 32, 3)
-        y = conv2d_bn(y, 64, 3)
-        conv1 = y
-        y = maxpool_same(y)
+            if s2ds:
+                # packed-input stem1: same params (cb declares the
+                # canonical conv+BN tree), kernel re-indexed for the s2d
+                # grid (3x3/2 SAME -> 2x2/1 over 12ch; ops/s2d_input.py)
+                import jax.lax as lax
+
+                from ..ops.s2d_input import stem_kernel_s2d
+
+                k, m, a = cb(3, 32, 3)
+                k2, pads = stem_kernel_s2d(k, 0)
+                y = lax.conv_general_dilated(
+                    x, k2.astype(self.dtype), (1, 1), pads,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype)
+                y = nn.relu(y * m.astype(y.dtype) + a.astype(y.dtype))
+            else:
+                y = conv2d_bn(x, 32, 3, strides=2)
+            y = conv2d_bn(y, 32, 3)
+            y = conv2d_bn(y, 64, 3)
+            conv1 = y
+            y = maxpool_same(y)
         y = conv2d_bn(y, 80, 1)
         y = conv2d_bn(y, 192, 3)
         conv2 = y
@@ -365,7 +399,7 @@ class InceptionResNetV2UNet(nn.Module):
         if (train or trunc or n_s2d or n_fs or self.wpack
                 or self.fused_decoder or hc % 32 or hc < 64):
             hc = 0
-        h_full = x.shape[1] * (2 if s2ds else 1)
+        h_full = x.shape[1] * 2 ** s2ds
         fresh = h_full - 2 * hc
 
         def crop_to(y, margin, scale):

@@ -23,11 +23,12 @@ class ModelBundle:
     def init(self, patch_size: int, seed: int = 0):
         # jit the init: eager op-by-op init of a 121-conv network is ~10x
         # slower than tracing + compiling it once
-        if getattr(self.module, "s2d_stem", False):
+        lvl = int(getattr(self.module, "s2d_stem", 0) or 0)
+        if lvl:
             # packed-input model (ops/s2d_input.py): same parameter tree,
-            # half-res 12-channel input shape
-            x = jnp.zeros((1, patch_size // 2, patch_size // 2, 12),
-                          jnp.float32)
+            # 1/2**lvl-res 3*4**lvl-channel input shape
+            p = patch_size >> lvl
+            x = jnp.zeros((1, p, p, 3 * 4 ** lvl), jnp.float32)
         else:
             x = jnp.zeros((1, patch_size, patch_size, 3), jnp.float32)
         init_fn = jax.jit(lambda k: self.module.init(k, x, train=False))
