@@ -175,9 +175,12 @@ def bench_tile(names, tta, patch):
     pheads = int(os.environ.get("DPAI_BENCH_PHEADS", -1))
     # A/B the progressive decoder halo crop (models' halo_crop; exact)
     hcrop = int(os.environ.get("DPAI_BENCH_HCROP", -1))
-    # A/B the host-packed s2d stem (models' s2d_stem + packed TTA; exact):
-    # 1 = 2x2 pack (stem conv only), 2 = 4x4 pack (whole stem packed)
-    s2dstem = int(os.environ.get("DPAI_BENCH_S2DSTEM", 0))
+    # Host-packed s2d stem (models' s2d_stem + packed TTA; exact):
+    # 1 = 2x2 pack (stem conv only), 2 = 4x4 pack (whole stem packed),
+    # 0 = off.  Default 1 — the measured uniform in-model winner (dense
+    # +6.8% / inception +2.4% / deeplab +4.7%; BASELINE.md round 3) and
+    # the engine's s2d_input="auto" default.
+    s2dstem = int(os.environ.get("DPAI_BENCH_S2DSTEM", 1))
 
     def model_kw(n):
         kw = {"quantized": True} if quant else {}

@@ -86,6 +86,26 @@ def mark_crf_applied(state_path, cfg_key):
     os.replace(tmp, state_path)
 
 
+def resolve_s2d_level(s2d_input, inference_mode: str, supertile: int,
+                      patch_size: int) -> int:
+    """Resolve the host-packed s2d input level (``ops/s2d_input.py``).
+
+    The loader ships space-to-depth-packed uint8 tiles and the narrow stem
+    convs run in the packed domain — exact, same parameters.  ``True``/1:
+    2x2 pack (stem conv only); 2: 4x4 pack (the whole stem through the
+    first pool).  ``"auto"`` (the default): level 1 — the measured uniform
+    in-model winner on v5e (dense +6.8% / inception +2.4% / deeplab +4.7%;
+    BASELINE.md round 3).  The level must be uniform across the ensemble
+    (one packed tile per supertile), and the supertile side (incl. halo)
+    must divide by 2**level; tile mode only — patch mode returns 0.
+    """
+    if not s2d_input or inference_mode != "tile":
+        return 0
+    lvl = 1 if s2d_input == "auto" else int(s2d_input)
+    side = supertile + 2 * (patch_size // 2)
+    return lvl if lvl > 0 and side % (1 << lvl) == 0 else 0
+
+
 def getSegmentation(img_path,
                     patch_size: int = 256,
                     stride_size: int = 128,
@@ -109,7 +129,7 @@ def getSegmentation(img_path,
                     tile_local_aspp: bool = True,
                     spatial_shard="auto",
                     decoder_halo_crop: bool = False,
-                    s2d_input: bool | int = False,
+                    s2d_input: bool | int | str = "auto",
                     s2d_decoder: bool = False,
                     wpack: bool = False,
                     fused_stages: int = 0,
@@ -184,13 +204,11 @@ def getSegmentation(img_path,
             # the engine discards the halo fringe, so the U-Net decoders
             # never compute it above the bottleneck
             kw["halo_crop"] = patch_size // 2
-        if (s2d_input and inference_mode == "tile"
-                and key in ("dense", "inception", "deeplabv3")):
-            # host-packed s2d input: the loader ships packed tiles and the
-            # narrow stem convs run in the packed domain (ops/s2d_input.py).
-            # True/1: 2x2 pack (stem conv only); 2: 4x4 pack — the whole
-            # stem (all narrow convs through the first pool) runs packed
-            kw["s2d_stem"] = int(s2d_input)
+        if key in ("dense", "inception", "deeplabv3"):
+            lvl = resolve_s2d_level(s2d_input, inference_mode, supertile,
+                                    patch_size)
+            if lvl:
+                kw["s2d_stem"] = lvl
         b = build_model(name, dtype=compute_dtype, **kw)
         bundles.append(b)
         model_kws[b.name] = kw

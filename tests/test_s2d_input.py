@@ -188,3 +188,20 @@ def test_s2d_stem_matches_canonical(name, level):
     import jax
     assert (jax.tree_util.tree_structure(v)
             == jax.tree_util.tree_structure(packed.init(64)))
+
+def test_resolve_s2d_level_default_gate():
+    """The engine defaults to s2d level 1 in tile mode ("auto") and never
+    packs in patch mode, at explicit 0/False, or at non-dividing sides."""
+    from digipathai_tpu.engine.segmentation import resolve_s2d_level
+
+    assert resolve_s2d_level("auto", "tile", 4096, 256) == 1
+    assert resolve_s2d_level("auto", "patch", 4096, 256) == 0
+    assert resolve_s2d_level(False, "tile", 4096, 256) == 0
+    assert resolve_s2d_level(0, "tile", 4096, 256) == 0
+    assert resolve_s2d_level(True, "tile", 4096, 256) == 1
+    assert resolve_s2d_level(2, "tile", 4096, 256) == 2
+    # side = 255 + 2*16 = 287 (odd) — cannot pack
+    assert resolve_s2d_level("auto", "tile", 255, 32) == 0
+    # side = 258 + 2*16 = 290: divisible by 2, not by 4
+    assert resolve_s2d_level(2, "tile", 258, 32) == 0
+    assert resolve_s2d_level(1, "tile", 258, 32) == 1
