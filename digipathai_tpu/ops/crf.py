@@ -82,7 +82,9 @@ def _use_pallas_bilateral() -> bool:
 
 
 def _bilateral_message_dispatch(q, image, sigma_xy, sigma_rgb, radius):
-    if _use_pallas_bilateral():
+    # the Pallas kernel is specialized to the binary (2-plane) engine CRF;
+    # multi-label refinement (do_crf) takes the XLA window fallback
+    if q.shape[-1] == 2 and _use_pallas_bilateral():
         from .pallas.bilateral import bilateral_message_pallas
 
         return bilateral_message_pallas(q, image, float(sigma_xy),
@@ -168,6 +170,83 @@ def production_bilateral_message(q, image_u8, bil_sigma_xy=50.0,
     m_bil = jnp.repeat(jnp.repeat(m_bil_small, ds, 0), ds, 1)
     return jnp.pad(m_bil, ((0, h - hd * ds), (0, w - wd * ds), (0, 0)),
                    mode="edge")
+
+
+@partial(jax.jit, static_argnames=("n_labels", "n_iters", "enable_color",
+                                   "pos_sigma", "compat_gaussian",
+                                   "bil_sigma_xy", "bil_sigma_rgb",
+                                   "bil_downsample", "bil_radius",
+                                   "compat_bilateral"))
+def _mean_field_from_unary(image_u8, unary, *, n_labels: int, n_iters: int,
+                           enable_color: bool, pos_sigma: float,
+                           compat_gaussian: float, bil_sigma_xy: float,
+                           bil_sigma_rgb: float, bil_downsample: int,
+                           bil_radius: int, compat_bilateral: float):
+    """Multi-label mean-field iterations from an explicit unary (H, W, L)."""
+    q = jax.nn.softmax(-unary, axis=-1)  # pydensecrf startInference
+    for _ in range(n_iters):
+        m = compat_gaussian * _gaussian_message(q, pos_sigma)
+        if enable_color:
+            m = m + compat_bilateral * production_bilateral_message(
+                q, image_u8, bil_sigma_xy, bil_sigma_rgb, bil_downsample,
+                bil_radius)
+        q = jax.nn.softmax(-unary + m, axis=-1)
+    return q
+
+
+def do_crf(im, mask, n_labels: int, enable_color: bool = False,
+           zero_unsure: bool = True, n_iters: int = 5,
+           faithful_shift: bool = False) -> np.ndarray:
+    """Label-input dense-CRF refinement.
+
+    Parity target (semantics): ``do_crf``
+    (``reference DigiPathAI/helpers/utils.py:548-566``) — unary from a label
+    map via ``unary_from_labels(gt_prob=0.7)``, a position-only Gaussian term
+    (sxy 3, compat 3), an optional color bilateral term (sxy 80, srgb 13,
+    compat 10), 5 mean-field iterations, argmax mapped back to the original
+    label values.  ``zero_unsure`` treats inverse-label 0 (the smallest mask
+    value — the reference quirk when the mask has no literal zeros) as
+    uncertain: a uniform unary.  Dead code in the reference (never called);
+    implemented here for inventory parity.
+
+    The bilateral term uses the engine's truncated-window approximation at
+    ``bil_downsample=8`` (window covers +-80 px = one sigma_xy), not the
+    reference's permutohedral lattice — same tradeoff as ``mean_field_crf``.
+
+    With ``zero_unsure`` pydensecrf's class ``c`` corresponds to label
+    ``c + 1`` (label 0 is "unsure"), but the reference maps the argmax class
+    straight through ``colors[c]`` — an off-by-one that relabels every pixel
+    one label down.  Correct mapping is the default; ``faithful_shift=True``
+    reproduces the reference bit-for-bit (PARITY.md deviations).
+    """
+    mask = np.asarray(mask)
+    colors, labels = np.unique(mask, return_inverse=True)
+    labels = labels.reshape(mask.shape).astype(np.int32)
+
+    # unary_from_labels (pydensecrf.utils) semantics, gt_prob = 0.7
+    gt_prob = 0.7
+    p_energy = -np.log(gt_prob)
+    n_energy = (-np.log((1.0 - gt_prob) / (n_labels - 1))
+                if n_labels > 1 else p_energy)
+    idx = labels - 1 if zero_unsure else labels
+    one_hot = jax.nn.one_hot(idx, n_labels, dtype=jnp.float32)
+    unary = jnp.where(one_hot > 0, p_energy, n_energy)
+    if zero_unsure:
+        unary = jnp.where((labels == 0)[..., None],
+                          -np.log(1.0 / n_labels), unary)
+
+    q = _mean_field_from_unary(
+        jnp.asarray(im, jnp.uint8), unary, n_labels=n_labels,
+        n_iters=n_iters, enable_color=bool(enable_color),
+        pos_sigma=3.0, compat_gaussian=3.0, bil_sigma_xy=80.0,
+        bil_sigma_rgb=13.0, bil_downsample=8, bil_radius=10,
+        compat_bilateral=10.0)
+    map_idx = np.asarray(jnp.argmax(q, axis=-1))
+    if zero_unsure and not faithful_shift:
+        map_idx = map_idx + 1  # class c <-> inverse label c + 1
+    # map inverse indices back to the original label values; indices beyond
+    # len(colors)-1 (possible when n_labels > distinct mask values) clamp
+    return colors[np.minimum(map_idx, len(colors) - 1)]
 
 
 def refine_slide_crf(slide, mean_map, supertile: int = 4096,

@@ -55,6 +55,71 @@ class TestMeanFieldCRF:
         assert (out >= 0).all() and (out <= 1).all()
 
 
+class TestDoCRF:
+    """Label-input variant (reference helpers/utils.py:548-566)."""
+
+    def _scene(self, rng):
+        """Two colored regions plus background, with label noise."""
+        h = w = 96
+        img = np.full((h, w, 3), 235, np.uint8)
+        img[10:50, 10:50] = (60, 60, 200)
+        img[55:90, 55:90] = (200, 60, 60)
+        labels = np.zeros((h, w), np.uint8)
+        labels[10:50, 10:50] = 1
+        labels[55:90, 55:90] = 2
+        noisy = labels.copy()
+        ys, xs = rng.integers(15, 45, 30), rng.integers(15, 45, 30)
+        noisy[ys, xs] = 2  # wrong-label speckle inside region 1
+        return img, labels, noisy
+
+    def test_denoises_label_speckle(self, rng):
+        from digipathai_tpu.ops.crf import do_crf
+
+        img, clean, noisy = self._scene(rng)
+        out = do_crf(img, noisy, n_labels=3, enable_color=True,
+                     zero_unsure=False)
+        assert set(np.unique(out)) <= {0, 1, 2}
+        # interior speckle (away from region boundaries) resolves to the
+        # surrounding label; region interiors survive the smoothing
+        inner = out[18:42, 18:42]
+        err_before = np.mean(noisy[18:42, 18:42] != 1)
+        assert err_before > 0.01  # the speckle is really there
+        assert np.mean(inner != 1) < err_before * 0.5
+        assert (out[60:85, 60:85] == 2).mean() > 0.9
+        assert (out[:8, :8] == 0).all()
+
+    def test_zero_unsure_fills_from_neighbors(self, rng):
+        from digipathai_tpu.ops.crf import do_crf
+
+        img, clean, _ = self._scene(rng)
+        labels = clean.copy() + 1  # 1=bg, 2=r1, 3=r2; 0 reserved for unsure
+        labels[20:30, 20:30] = 0   # unknown hole inside region 1
+        out = do_crf(img, labels, n_labels=3, enable_color=True,
+                     zero_unsure=True)
+        # the hole resolves to the surrounding label (correct mapping: 2)
+        assert (out[22:28, 22:28] == 2).mean() > 0.9
+
+    def test_faithful_shift_reproduces_reference_offby_one(self, rng):
+        from digipathai_tpu.ops.crf import do_crf
+
+        img, clean, _ = self._scene(rng)
+        labels = clean.copy() + 1
+        out = do_crf(img, labels, n_labels=3, enable_color=False,
+                     zero_unsure=True, faithful_shift=True)
+        # the reference maps argmax class c straight to colors[c]: every
+        # confident label comes back one value down
+        assert (out[30:45, 30:45] == 1).mean() > 0.9  # label 2 -> colors[1]
+
+    def test_original_label_values_preserved(self, rng):
+        from digipathai_tpu.ops.crf import do_crf
+
+        img, clean, _ = self._scene(rng)
+        labels = np.choose(clean, [5, 9, 12]).astype(np.uint8)
+        out = do_crf(img, labels, n_labels=3, enable_color=True,
+                     zero_unsure=False)
+        assert set(np.unique(out)) <= {5, 9, 12}
+
+
 class TestEngineCRFFlag:
     def test_crf_flag_runs_end_to_end(self, tmp_path, monkeypatch):
         from tests.fixtures import make_synthetic_slide
