@@ -31,6 +31,10 @@ from .pages import page_about, page_files, page_viewer
 from .wsgi_kit import App, Response, abort
 
 
+#: the full dihedral TTA set (reference Segmentation.py:95-99)
+FULL_TTA = ["FLIP_LEFT_RIGHT", "ROTATE_90", "ROTATE_180", "ROTATE_270"]
+
+
 @dataclass
 class ServerConfig:
     slide_dir: str = "."
@@ -43,6 +47,33 @@ class ServerConfig:
     deepzoom_tile_quality: int = 75
     debug: bool = False
     extra: dict = field(default_factory=dict)
+    # --- engine knobs forwarded to getSegmentation (None = engine default).
+    # The reference hardcodes its /segment call (main_server.py:165-169);
+    # these make the measured fast path (tile mode, ensemble, TTA, CRF)
+    # reachable from the product surface.
+    inference_mode: Optional[str] = None      # "patch" | "tile"
+    quick: Optional[bool] = None              # False => 3-model ensemble
+    model: Optional[str] = None               # quick-model choice
+    tta: Optional[object] = None              # list of TTA names, or "all"
+    crf: Optional[bool] = None
+    resume: Optional[bool] = None
+    data_parallel: Optional[object] = None    # bool | int device count
+    engine_extra: dict = field(default_factory=dict)  # extra kwargs, verbatim
+
+    def engine_kwargs(self) -> dict:
+        """kwargs for ``segmentation_fn`` from the knobs set on this config."""
+        kw = {}
+        for attr, kwarg in (("inference_mode", "inference_mode"),
+                            ("quick", "quick"), ("model", "model"),
+                            ("crf", "crf"), ("resume", "resume"),
+                            ("data_parallel", "data_parallel")):
+            v = getattr(self, attr)
+            if v is not None:
+                kw[kwarg] = v
+        if self.tta is not None:
+            kw["tta_list"] = list(FULL_TTA) if self.tta == "all" else list(self.tta)
+        kw.update(self.engine_extra)
+        return kw
 
 
 class SlideCache:
@@ -198,7 +229,8 @@ def create_app(config: Optional[ServerConfig] = None,
         else:
             fn = segmentation_fn or _default_segmentation_fn()
             t = threading.Thread(
-                target=_run_segmentation, args=(status, fn), daemon=True)
+                target=_run_segmentation,
+                args=(status, fn, cfg.engine_kwargs()), daemon=True)
             t.start()
         return Response.json(status.snapshot())
 
@@ -254,9 +286,14 @@ def _default_segmentation_fn():
     return getSegmentation
 
 
-def _run_segmentation(status, segmentation_fn):
+def _run_segmentation(status, segmentation_fn, engine_kwargs=None):
     """Worker (reference run_segmentation, main_server.py:161-172) with
-    error propagation instead of a stuck 'Running' status."""
+    error propagation instead of a stuck 'Running' status.
+
+    ``engine_kwargs`` (from ``ServerConfig.engine_kwargs()``) is forwarded
+    verbatim so configured deployments reach tile mode / ensemble / TTA /
+    CRF — only passed when non-empty, so injected test doubles keep their
+    reference-shaped signature."""
     status["status"] = "Running"
     slide_path = status["slide_path"]
     root, ext = os.path.splitext(slide_path)
@@ -269,6 +306,7 @@ def _run_segmentation(status, segmentation_fn):
             uncertainty_path=root + "-dgai-uncertainty" + ext,
             status=status,
             mode=str(status.get("tissuetype", "Colon")).lower(),
+            **(engine_kwargs or {}),
         )
         status["status"] = "Done"
     except Exception as e:  # noqa: BLE001 — surface to the polling client

@@ -42,6 +42,26 @@ def build_config(argv=None) -> tuple:
                         help="tile size [254]")
     parser.add_argument("--viewer-only", action="store_true", default=None,
                         help="disable segmentation")
+    # --- engine knobs (None = engine default); these make the measured
+    # fast path (tile mode / ensemble / TTA / CRF) reachable from /segment
+    parser.add_argument("--inference-mode", choices=("patch", "tile"),
+                        default=None, help="engine inference mode")
+    parser.add_argument("--ensemble", action="store_true", default=None,
+                        help="run the 3-model ensemble (quick=False)")
+    parser.add_argument("--model", default=None,
+                        help="quick-mode model (dense|inception|deeplabv3)")
+    parser.add_argument("--tta", default=None, metavar="LIST",
+                        help="comma-separated TTA names, or 'all'")
+    parser.add_argument("--crf", action="store_true", default=None,
+                        help="enable dense-CRF refinement")
+    parser.add_argument("--resume", action="store_true", default=None,
+                        help="resume a crashed segmentation run")
+    parser.add_argument("--data-parallel", default=None, metavar="N",
+                        help="device data parallelism: true|false|<count>")
+    parser.add_argument("--engine-opt", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="extra getSegmentation kwarg (repeatable); "
+                             "values parsed as python literals when possible")
     parser.add_argument("positional_dir", nargs="?", default=None)
     opts = parser.parse_args(argv)
 
@@ -64,6 +84,15 @@ def build_config(argv=None) -> tuple:
         "DEEPZOOM_TILE_QUALITY": "deepzoom_tile_quality",
         "VIEWER_ONLY": "viewer_only",
         "DEBUG": "debug",
+        # engine knobs (config-file spellings)
+        "ENGINE_INFERENCE_MODE": "inference_mode",
+        "ENGINE_QUICK": "quick",
+        "ENGINE_MODEL": "model",
+        "ENGINE_TTA": "tta",
+        "ENGINE_CRF": "crf",
+        "ENGINE_RESUME": "resume",
+        "ENGINE_DATA_PARALLEL": "data_parallel",
+        "ENGINE_EXTRA": "engine_extra",
     }
     for layer in layers:
         for k, attr in mapping.items():
@@ -80,6 +109,35 @@ def build_config(argv=None) -> tuple:
         v = getattr(opts, opt_name)
         if v is not None:
             setattr(cfg, attr, v)
+    # engine-knob CLI overrides
+    if opts.inference_mode is not None:
+        cfg.inference_mode = opts.inference_mode
+    if opts.ensemble:
+        cfg.quick = False
+    if opts.model is not None:
+        cfg.model = opts.model
+    if opts.tta is not None:
+        cfg.tta = "all" if opts.tta == "all" else [
+            t.strip() for t in opts.tta.split(",") if t.strip()]
+    if opts.crf:
+        cfg.crf = True
+    if opts.resume:
+        cfg.resume = True
+    if opts.data_parallel is not None:
+        v = opts.data_parallel.lower()
+        cfg.data_parallel = (True if v == "true" else
+                             False if v == "false" else int(opts.data_parallel))
+    for item in opts.engine_opt:
+        if "=" not in item:
+            parser.error(f"--engine-opt needs KEY=VALUE, got {item!r}")
+        k, _, raw = item.partition("=")
+        import ast
+
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = raw
+        cfg.engine_extra[k] = val
     if opts.positional_dir and opts.slide_dir is None:
         cfg.slide_dir = opts.positional_dir
     if cfg.slide_dir is None:

@@ -203,6 +203,66 @@ class TestSegmentEndpoint:
         finally:
             s.stop()
 
+    def test_engine_knobs_reach_segmentation_fn(self, slide_dir):
+        """ServerConfig engine knobs (VERDICT r3 item 3) are forwarded to
+        the injected segmentation_fn — tile mode / ensemble / TTA / CRF
+        are reachable from POST /segment."""
+        calls = {}
+
+        def fake_seg(img_path, mask_path, probs_path, uncertainty_path,
+                     status, mode, **kw):
+            calls.update(kw)
+            status["progress"] = 100
+
+        cfg = ServerConfig(
+            slide_dir=slide_dir, viewer_only=False,
+            inference_mode="tile", quick=False, tta="all", crf=True,
+            resume=True, data_parallel=2,
+            engine_extra={"supertile": 1024})
+        s = _Server(cfg, segmentation_fn=fake_seg)
+        try:
+            s.get("/liver-slide-1.tiff")
+            s.post("/segment", {"tissuetype": "Colon"})
+            deadline = time.time() + 10
+            st = {}
+            while time.time() < deadline:
+                _, body, _ = s.get("/check_segment_status")
+                st = json.loads(body)
+                if st.get("status") in ("Done", "Error"):
+                    break
+                time.sleep(0.1)
+            assert st["status"] == "Done"
+            assert calls == {
+                "inference_mode": "tile", "quick": False,
+                "tta_list": ["FLIP_LEFT_RIGHT", "ROTATE_90",
+                             "ROTATE_180", "ROTATE_270"],
+                "crf": True, "resume": True, "data_parallel": 2,
+                "supertile": 1024,
+            }
+        finally:
+            s.stop()
+
+    def test_engine_knob_cli_flags(self):
+        """CLI flags populate the ServerConfig engine knobs."""
+        from digipathai_tpu.server.cli import build_config
+
+        cfg, _ = build_config([
+            "--inference-mode", "tile", "--ensemble", "--tta",
+            "FLIP_LEFT_RIGHT,ROTATE_90", "--crf", "--resume",
+            "--data-parallel", "4", "--engine-opt", "supertile=2048",
+            "--engine-opt", "s2d_input=auto", "/tmp"])
+        assert cfg.inference_mode == "tile"
+        assert cfg.quick is False
+        assert cfg.tta == ["FLIP_LEFT_RIGHT", "ROTATE_90"]
+        assert cfg.crf is True and cfg.resume is True
+        assert cfg.data_parallel == 4
+        assert cfg.engine_extra == {"supertile": 2048, "s2d_input": "auto"}
+        assert cfg.engine_kwargs()["tta_list"] == ["FLIP_LEFT_RIGHT",
+                                                   "ROTATE_90"]
+        # unset knobs stay engine defaults: empty kwargs when nothing given
+        cfg2, _ = build_config(["/tmp"])
+        assert cfg2.engine_kwargs() == {}
+
     def test_segmentation_error_surfaces(self, slide_dir):
         def boom(**kw):
             raise RuntimeError("synthetic failure")

@@ -67,10 +67,16 @@ def main():
 
     env = dict(os.environ, DPAI_OFFLINE="1",
                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    cmd = [sys.executable, "-m", "digipathai_tpu.server.cli", "-s", d,
+           "-l", "127.0.0.1", "-p", str(args.port)]
+    if args.full:
+        # the measured fast path, end to end through POST /segment:
+        # tile-mode 3-model ensemble with the full TTA set + CRF
+        # (supertile shrunk to the fixture scale)
+        cmd += ["--inference-mode", "tile", "--ensemble", "--tta", "all",
+                "--crf", "--engine-opt", "supertile=1024"]
     srv = subprocess.Popen(
-        [sys.executable, "-m", "digipathai_tpu.server.cli", "-s", d,
-         "-l", "127.0.0.1", "-p", str(args.port)],
-        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        cmd, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     base = f"http://127.0.0.1:{args.port}"
     try:
         for _ in range(40):
@@ -104,7 +110,9 @@ def main():
 
         status = {}
         t0 = time.time()
-        while time.time() - t0 < 900:
+        # cold-compile budget: the --full path compiles 3 models + CRF
+        deadline = 2700 if args.full else 900
+        while time.time() - t0 < deadline:
             st, body = get(base + "/check_segment_status")
             status = json.loads(body)
             if status.get("status") in ("Done", "Error"):
