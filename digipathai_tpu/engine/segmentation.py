@@ -141,6 +141,7 @@ def getSegmentation(img_path,
                     save_float_probs: bool = False,
                     threshold: float = THRESHOLD,
                     compute_dtype=None,
+                    crf_opts=None,
                     progress_cb=None) -> np.ndarray:
     """Segment a whole-slide image; writes three pyramidal TIFFs.
 
@@ -288,19 +289,70 @@ def getSegmentation(img_path,
     var_map = np.memmap(mdir / f"{stem}-var.dat", np.float32, mode_mm, shape=(Y, X))
     count_map = np.memmap(mdir / f"{stem}-count.dat", np.float32, mode_mm, shape=(Y, X))
 
+    import threading
+
+    _state_lock = threading.Lock()  # flusher threads save concurrently
+
     def save_state(mark_finalized: bool = False, inflight=None):
         # finalize is non-idempotent (mean /= count); the marker prevents a
         # resumed run from dividing already-finalized maps a second time.
         # "inflight" names a group whose memmap += writes are about to start;
         # it is cleared by the next save once they complete (crash in between
         # -> resume sees the taint and restarts, never double-adds).
-        tmp = state_path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(
-            {"config": cfg_key, "completed": sorted(completed),
-             "crf_tiles": sorted(crf_tiles_done),
-             "finalized": mark_finalized or finalized,
-             "inflight": [inflight] if inflight is not None else []}))
-        os.replace(tmp, state_path)
+        with _state_lock:
+            tmp = state_path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(
+                {"config": cfg_key, "completed": sorted(completed),
+                 "crf_tiles": sorted(crf_tiles_done),
+                 "finalized": mark_finalized or finalized,
+                 "inflight": [inflight] if inflight is not None else []}))
+            os.replace(tmp, state_path)
+
+    # --- CRF staging (shared by tile mode's per-supertile overlap path and
+    # the post-pass): CRF rewrites mean_map in place per tile
+    # (non-idempotent), so each refined tile is staged to disk (atomic
+    # rename) before the in-place assignment and unstaged after the
+    # progress marker is persisted; a crash anywhere is recovered by
+    # replaying the staged assignment.
+    crf_active = crf and not state_crf_applied(state_path, cfg_key)
+    crf_opts = dict(crf_opts or {})  # mean_field_crf hyperparams, both paths
+
+    def _crf_stage(ti):
+        return mdir / f"{stem}-crftile-{ti}.npz"
+
+    def _crf_write(ti, box, refined):
+        sp = _crf_stage(ti)
+        tmp = sp.with_name("tmp-" + sp.name)
+        np.savez(tmp, box=np.asarray(box), block=refined)
+        os.replace(tmp, sp)
+        y0, y1, x0, x1 = box
+        mean_map[y0:y1, x0:x1] = refined
+        crf_tiles_done.add(ti)
+        save_state()
+        sp.unlink(missing_ok=True)
+
+    tile_crf_cb = None
+    if crf_active and inference_mode == "tile":
+        # each supertile's mean is final at flush in tile mode, so CRF runs
+        # right there (ops/crf.refine_tile — same bucket-padded program as
+        # the post-pass) instead of as a serial tail (VERDICT r3 item 2)
+        from ..ops.crf import refine_tile
+
+        _ntx = -(-X // supertile)
+
+        def tile_crf_cb(g, img_tile):
+            ox, oy = g.origin
+            ti = (oy // supertile) * _ntx + (ox // supertile)
+            if ti in crf_tiles_done:
+                return
+            th = min(supertile, Y - oy)
+            tw = min(supertile, X - ox)
+            probs = np.asarray(mean_map[oy:oy + th, ox:ox + tw], np.float32)
+            if probs.max() <= 0:
+                return  # glass-only: the post-pass skips it identically
+            refined = refine_tile(np.asarray(img_tile[:th, :tw]), probs,
+                                  supertile, **crf_opts)
+            _crf_write(ti, (oy, oy + th, ox, ox + tw), refined)
 
     variables_tuple = tuple(variables_list)
     if inference_mode == "tile":
@@ -329,7 +381,8 @@ def getSegmentation(img_path,
                 status=status, timer=timer, progress_cb=progress_cb,
                 compute_dtype=compute_dtype, completed=completed,
                 on_group_done=lambda gi: save_state(), n_devices=n_dev,
-                faithful_tta=faithful_tta, spatial_shard=spatial_shard)
+                faithful_tta=faithful_tta, spatial_shard=spatial_shard,
+                crf_cb=tile_crf_cb)
     else:
         from ..ops.stitch import add_counts_host
 
@@ -458,28 +511,10 @@ def getSegmentation(img_path,
         finalized = True
         save_state(mark_finalized=True)
 
-    if crf and not state_crf_applied(state_path, cfg_key):
+    if crf_active:
         from ..ops.crf import refine_slide_crf
 
         _status_set(status, status="Refining with CRF")
-
-        # CRF rewrites mean_map in place per tile (non-idempotent), so each
-        # refined tile is staged to disk (atomic rename) before the in-place
-        # assignment and unstaged after the progress marker is persisted; a
-        # crash anywhere is recovered by replaying the staged assignment.
-        def _crf_stage(ti):
-            return mdir / f"{stem}-crftile-{ti}.npz"
-
-        def _crf_write(ti, box, refined):
-            sp = _crf_stage(ti)
-            tmp = sp.with_name("tmp-" + sp.name)
-            np.savez(tmp, box=np.asarray(box), block=refined)
-            os.replace(tmp, sp)
-            y0, y1, x0, x1 = box
-            mean_map[y0:y1, x0:x1] = refined
-            crf_tiles_done.add(ti)
-            save_state()
-            sp.unlink(missing_ok=True)
 
         # replay tiles staged by a crashed previous run (assignment is
         # replayable; += is not — hence staging only exists for CRF)
@@ -493,7 +528,7 @@ def getSegmentation(img_path,
             sp.unlink(missing_ok=True)
 
         refine_slide_crf(slide, mean_map, supertile=supertile,
-                         done=crf_tiles_done, on_tile=_crf_write)
+                         done=crf_tiles_done, on_tile=_crf_write, **crf_opts)
         mark_crf_applied(state_path, cfg_key)
 
     # --- write artifacts -------------------------------------------------

@@ -190,7 +190,8 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                        status=None, timer=None, progress_cb=None,
                        compute_dtype=jnp.bfloat16, completed=None,
                        on_group_done=None, n_devices: int = 1,
-                       faithful_tta: bool = False, spatial_shard="auto"):
+                       faithful_tta: bool = False, spatial_shard="auto",
+                       crf_cb=None):
     """Segment every tissue supertile fully convolutionally.
 
     Reuses the patch plan's supertile groups purely as a tissue index (a
@@ -205,6 +206,14 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
     on ALL devices at once (``build_tile_step_sp``: the tile is sharded
     along one spatial axis; XLA GSPMD inserts the conv halo exchanges over
     ICI).  ``True``/``False`` force the choice.
+
+    ``crf_cb(group, img_tile)``: each supertile's mean is FINAL at flush
+    (no cross-supertile overlap-add), so CRF refinement runs immediately
+    after the map write-back instead of as a serial post-pass tail
+    (VERDICT r3 item 2) — overlapped with the next supertile's host
+    load/compute by the flusher pool.  ``img_tile`` is the already-decoded
+    (supertile, supertile, 3) uint8 region (halo cropped, row-major), so
+    the slide is not re-read.
     """
     import threading
     from concurrent.futures import ThreadPoolExecutor
@@ -262,7 +271,7 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
     def crop2(arr, x0, y0, *, bx, by):
         return jax.lax.dynamic_slice(arr, (x0, y0), (bx, by))
 
-    def flush(mean, var, gi, g):
+    def flush(mean, var, gi, g, region=None):
         nonlocal done
         ox, oy = g.origin
         w = min(S, X - ox)
@@ -299,6 +308,12 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                 status["progress"] = int(done * 100.0 / total)
             if progress_cb is not None:
                 progress_cb(done, total)
+        if crf_cb is not None and region is not None:
+            # after the completion marker: a crash mid-CRF resumes into the
+            # post-pass (engine CRF block) instead of re-inferring the tile
+            ctx2 = timer.stage("crf") if timer else _null()
+            with ctx2:
+                crf_cb(g, region[halo:halo + S, halo:halo + S])
 
     if use_sp:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -320,7 +335,8 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                 with ctx:
                     tile_dev = jax.device_put(tile_xyc, in_sh)
                     mean, var = step_sp(variables_tuple, tile_dev)
-                pending.append(flusher.submit(flush, mean, var, gi, g))
+                pending.append(flusher.submit(flush, mean, var, gi, g,
+                                              region))
                 while len(pending) > 2:
                     pending.pop(0).result()
             for fut in pending:
@@ -350,7 +366,7 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                     sums.append(s)
                     sqs.append(q)
                 mean, var = combine(sums, sqs)
-            pending.append(flusher.submit(flush, mean, var, gi, g))
+            pending.append(flusher.submit(flush, mean, var, gi, g, region))
             # backpressure: each pending result pins device+host buffers;
             # bound the in-flight depth to ~2 tiles per device
             while len(pending) > 2 * len(devices):
