@@ -159,7 +159,11 @@ def bench_tile(names, tta, patch):
     # s2d decoder measured as a net loss in-context (434 vs 463 eq-pps for
     # dense@2048) despite standalone conv wins — opt-in for experiments
     s2d = os.environ.get("DPAI_BENCH_S2D") == "1"
-    quant = os.environ.get("DPAI_BENCH_QUANT") == "1"
+    # 1 = dynamic per-call scales (round-2: neutral on v5e — the abs-max
+    # pass cancels the MXU gain); 2 = static calibrated scales (the
+    # quantize becomes a fusable elementwise epilogue; VERDICT r3 item 1a)
+    quant = int(os.environ.get("DPAI_BENCH_QUANT", "0") or 0)
+    qmode = {0: False, 1: True, 2: "static"}[quant]
     wpack = os.environ.get("DPAI_BENCH_WPACK") == "1"
     fused = os.environ.get("DPAI_BENCH_FUSED") == "1"
     # whole-stage Pallas fusion of the last N U-Net decoder stages
@@ -183,7 +187,7 @@ def bench_tile(names, tta, patch):
     s2dstem = int(os.environ.get("DPAI_BENCH_S2DSTEM", 1))
 
     def model_kw(n):
-        kw = {"quantized": True} if quant else {}
+        kw = {"quantized": qmode} if qmode else {}
         if n == "deeplabv3" and local_aspp:
             kw["aspp_pool_window"] = patch
         if n in ("dense", "inception"):
@@ -224,6 +228,24 @@ def bench_tile(names, tta, patch):
 
         tile_u8 = pack_host(tile_u8, s2dstem)
     tile_u8 = jnp.asarray(tile_u8)
+
+    if qmode == "static":
+        # calibrate per-layer activation abs-max on the bench tile itself
+        # (one jitted forward per model), then bake the scales as constants
+        from digipathai_tpu.models.quant import calibrate
+        from digipathai_tpu.ops.color import normalize_patches
+
+        t0 = time.time()
+        xcal = normalize_patches(tile_u8[None], dtype=jnp.bfloat16)
+        new_vars = []
+        for n, v in zip(names, variables):
+            cb = build_model(n, dtype=jnp.bfloat16,
+                             **{**model_kw(n), "quantized": "calib"})
+            calib = calibrate(cb.module, v, [xcal], train=False,
+                              jit=True)
+            new_vars.append(dict(v, calib=jax.device_get(calib)))
+        variables = tuple(new_vars)
+        print(f"# int8 calibration {time.time() - t0:.1f}s", file=sys.stderr)
 
     def run():
         sums, sqs = [], []

@@ -58,7 +58,7 @@ class DeepLabV3Plus(nn.Module):
                  binary: bool = False) -> jnp.ndarray:
         from .quant import conv_ctor
 
-        conv = partial(conv_ctor(self.quantized and not train),
+        conv = partial(conv_ctor(False if train else self.quantized),
                        dtype=self.dtype, param_dtype=jnp.float32,
                        use_bias=False)
         bn = partial(nn.BatchNorm, use_running_average=not train,

@@ -101,7 +101,7 @@ class DenseNet121UNet(nn.Module):
         cheaper at the head on TPU tiled layouts (models/heads.py)."""
         from .quant import conv_ctor
 
-        conv = partial(conv_ctor(self.quantized and not train),
+        conv = partial(conv_ctor(False if train else self.quantized),
                        dtype=self.dtype, param_dtype=jnp.float32)
         bn = partial(nn.BatchNorm, use_running_average=not train,
                      momentum=0.99, dtype=self.dtype, param_dtype=jnp.float32)

@@ -77,7 +77,7 @@ class InceptionResNetV2UNet(nn.Module):
         """``binary=True``: rank-3 p(class 1) head — see models/heads.py."""
         from .quant import conv_ctor
 
-        conv = partial(conv_ctor(self.quantized and not train),
+        conv = partial(conv_ctor(False if train else self.quantized),
                        dtype=self.dtype, param_dtype=jnp.float32)
         bn = partial(nn.BatchNorm, use_running_average=not train,
                      momentum=0.99, epsilon=BN_EPS, dtype=self.dtype,

@@ -69,11 +69,8 @@ class QuantConv(nn.Conv):
         scale_w = jnp.maximum(w_amax, 1e-12) / 127.0
         kq = jnp.round(k32 / scale_w).astype(jnp.int8)
 
-        # dynamic per-tensor symmetric activation quantization
         x32 = x.astype(jnp.float32)
-        x_amax = jnp.max(jnp.abs(x32))
-        scale_x = jnp.maximum(x_amax, 1e-12) / 127.0
-        xq = jnp.round(x32 / scale_x).astype(jnp.int8)
+        scale_x, xq = self._quantize_activation(x32)
 
         strides = (self.strides if not isinstance(self.strides, int)
                    else (self.strides, self.strides)) or (1, 1)
@@ -89,7 +86,89 @@ class QuantConv(nn.Conv):
             y = y + bias.astype(jnp.float32)
         return y.astype(self.dtype)
 
+    def _quantize_activation(self, x32):
+        """Dynamic per-tensor symmetric activation quantization: an extra
+        full reduction + materialized pass over the activation each call —
+        measured to cancel the MXU int8 gain on v5e (BASELINE.md round 2)."""
+        x_amax = jnp.max(jnp.abs(x32))
+        scale_x = jnp.maximum(x_amax, 1e-12) / 127.0
+        return scale_x, jnp.round(x32 / scale_x).astype(jnp.int8)
 
-def conv_ctor(quantized: bool):
-    """The conv constructor models should use: ``nn.Conv`` or ``QuantConv``."""
-    return QuantConv if quantized else nn.Conv
+
+class QuantConvCalib(QuantConv):
+    """Calibration pass: records the running per-layer activation abs-max
+    into the ``calib`` variable collection (apply with
+    ``mutable=["calib"]``), while running the dynamic path."""
+
+    def _quantize_activation(self, x32):
+        x_amax = jnp.max(jnp.abs(x32))
+        v = self.variable("calib", "amax", lambda: jnp.zeros((), jnp.float32))
+        if self.is_mutable_collection("calib"):
+            v.value = jnp.maximum(v.value, x_amax)
+        scale_x = jnp.maximum(x_amax, 1e-12) / 127.0
+        return scale_x, jnp.round(x32 / scale_x).astype(jnp.int8)
+
+
+class QuantConvStatic(QuantConv):
+    """Static-calibrated int8 (VERDICT r3 item 1a): the activation scale is
+    a per-layer CONSTANT from the ``calib`` collection, so quantization is a
+    pure elementwise scale+round+clip that XLA fuses into the producer's
+    epilogue — no abs-max reduction, no extra materialized pass.  Values
+    beyond the calibrated range clip to +-127 (the accuracy trade recorded
+    in PARITY.md)."""
+
+    def _quantize_activation(self, x32):
+        if self.is_initializing():
+            return super()._quantize_activation(x32)  # shapes only
+        if not self.has_variable("calib", "amax"):
+            raise ValueError(
+                "quantized='static' needs calibrated variables: run "
+                "models.quant.calibrate() first (missing calib/amax for "
+                f"{self.name})")
+        amax = self.get_variable("calib", "amax")
+        scale_x = jnp.maximum(amax, 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(x32 / scale_x), -127.0, 127.0).astype(jnp.int8)
+        return scale_x, xq
+
+
+def conv_ctor(quantized):
+    """The conv constructor models should use.
+
+    ``False`` -> exact ``nn.Conv``; ``True``/``"dynamic"`` -> per-call
+    dynamic scales; ``"calib"`` -> dynamic + record abs-max into the
+    ``calib`` collection; ``"static"`` -> constant calibrated scales."""
+    if not quantized:
+        return nn.Conv
+    if quantized == "calib":
+        return QuantConvCalib
+    if quantized == "static":
+        return QuantConvStatic
+    return QuantConv
+
+
+def calibrate(module, variables, sample_inputs, jit: bool = False,
+              **apply_kw):
+    """Collect per-layer activation abs-max over ``sample_inputs``.
+
+    ``module`` must be built with ``quantized="calib"``.  Returns the
+    ``calib`` collection to merge into the variables of a
+    ``quantized="static"`` build of the same architecture (identical module
+    paths — the quantization mode only changes compute).  ``jit=True``
+    compiles the pass (eager per-op dispatch is prohibitive on remote
+    backends)."""
+    import jax
+
+    def _apply(vs, x):
+        return module.apply(vs, x, mutable=["calib"], **apply_kw)
+
+    if jit:
+        _apply = jax.jit(_apply)
+    calib = None
+    for x in sample_inputs:
+        vs = dict(variables)
+        vs.pop("calib", None)
+        if calib is not None:
+            vs["calib"] = calib
+        _, upd = _apply(vs, x)
+        calib = upd["calib"]
+    return calib

@@ -90,6 +90,67 @@ class TestQuantConv:
 
 
 class TestQuantizedModel:
+    def test_static_calibrated_matches_dynamic_on_calib_input(self):
+        """quantized='static' (VERDICT r3 item 1a): on the calibration input
+        the constant scales equal the dynamic ones, so outputs are
+        bit-identical; off-calibration inputs clip gracefully."""
+        import flax.linen as nn
+
+        from digipathai_tpu.models.quant import (
+            QuantConv, QuantConvCalib, QuantConvStatic, calibrate)
+
+        class Net(nn.Module):
+            ctor: type
+
+            @nn.compact
+            def __call__(self, x, train=False):
+                x = self.ctor(256, (3, 3), name="c1", dtype=jnp.float32)(x)
+                x = nn.relu(x)
+                return self.ctor(256, (3, 3), name="c2",
+                                 dtype=jnp.float32)(x)
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 256)), jnp.float32)
+        dyn = Net(QuantConv)
+        v = dyn.init(jax.random.PRNGKey(0), x)
+        calib = calibrate(Net(QuantConvCalib), v, [x], jit=True)
+        assert set(calib) == {"c1", "c2"}
+        st = Net(QuantConvStatic)
+        np.testing.assert_array_equal(
+            np.asarray(st.apply({**v, "calib": calib}, x)),
+            np.asarray(dyn.apply(v, x)))
+        # out-of-range input: clipping keeps the error bounded
+        y2d = np.asarray(dyn.apply(v, x * 1.5))
+        y2s = np.asarray(st.apply({**v, "calib": calib}, x * 1.5))
+        assert np.max(np.abs(y2s - y2d)) / np.max(np.abs(y2d)) < 0.1
+
+    def test_static_requires_calibration(self):
+        from digipathai_tpu.models.quant import QuantConvStatic
+
+        x = jnp.zeros((1, 8, 8, 256), jnp.float32)
+        q = QuantConvStatic(256, (3, 3), dtype=jnp.float32)
+        v = q.init(jax.random.PRNGKey(0), x)
+        v.pop("calib", None)
+        with pytest.raises(ValueError, match="calibrated"):
+            q.apply(v, x)
+
+    def test_dense_static_quantized_model(self):
+        """Model-level: calibrate the dense net, run static, match dynamic
+        on the calibration input."""
+        from digipathai_tpu.models.quant import calibrate
+        from digipathai_tpu.models.registry import build_model
+
+        bd = build_model("dense", dtype=jnp.float32, quantized=True)
+        bc = build_model("dense", dtype=jnp.float32, quantized="calib")
+        bs = build_model("dense", dtype=jnp.float32, quantized="static")
+        v = bd.init(64)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+        calib = calibrate(bc.module, v, [x], jit=True, train=False)
+        pd = np.asarray(bd.apply(v, x))
+        ps = np.asarray(bs.apply(dict(v, calib=calib), x))
+        np.testing.assert_array_equal(ps, pd)
+
     def test_dense_quantized_close_and_same_tree(self):
         """quantized=True keeps the param tree and stays close in probs."""
         from digipathai_tpu.models.registry import build_model
