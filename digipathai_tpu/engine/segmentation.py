@@ -127,6 +127,7 @@ def getSegmentation(img_path,
                     resume: bool = False,
                     inference_mode: str = "patch",
                     tile_local_aspp: bool = True,
+                    tile_bbox_compute: bool = True,
                     spatial_shard="auto",
                     decoder_halo_crop: bool = False,
                     s2d_input: bool | int | str = "auto",
@@ -382,7 +383,7 @@ def getSegmentation(img_path,
                 compute_dtype=compute_dtype, completed=completed,
                 on_group_done=lambda gi: save_state(), n_devices=n_dev,
                 faithful_tta=faithful_tta, spatial_shard=spatial_shard,
-                crf_cb=tile_crf_cb)
+                crf_cb=tile_crf_cb, bbox_compute=tile_bbox_compute)
     else:
         from ..ops.stitch import add_counts_host
 

@@ -116,9 +116,57 @@ class TestTileMode:
                 uncertainty_path=str(tmp_path / f"sp{sp}-u.tiff"),
                 supertile=384, num_workers=2, data_parallel=sp,
                 inference_mode="tile", spatial_shard=sp,
+                # the sp path computes the full tile; disable the serial
+                # path's bbox compute cropping so both see identical inputs
+                tile_bbox_compute=False,
                 compute_dtype=np.float32)
             outs[sp] = np.asarray(out).copy()
         np.testing.assert_allclose(outs[True], outs[False], atol=1e-5)
+
+    def test_bbox_compute_exact_for_oracle_and_uses_small_buckets(
+            self, tmp_path, monkeypatch):
+        """Tissue-bbox compute cropping (VERDICT r3 item 1b): a sparse
+        supertile runs its forward on a small bucket, and a pointwise model
+        produces the identical map either way."""
+        import numpy as np
+
+        from digipathai_tpu.engine import tile_infer
+        from digipathai_tpu.engine.segmentation import getSegmentation
+        from digipathai_tpu.io.backend import write_pyramid
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        # glass slide with one small stained blob -> sparse supertile
+        img = np.full((1536, 1536, 3), 245, np.uint8)
+        rng = np.random.default_rng(7)
+        blob = rng.integers(-20, 20, (120, 120, 3))
+        img[600:720, 600:720] = np.clip(
+            np.array([170, 90, 160]) + blob, 0, 255).astype(np.uint8)
+        p = str(tmp_path / "sparse.tiff")
+        write_pyramid(p, img, compression="jpeg", quality=92, mpp=0.5)
+
+        sizes = []
+        orig = tile_infer.build_model_tile_steps
+
+        def spy(bundles, tta, tile, halo, **kw):
+            sizes.append(tile)
+            return orig(bundles, tta, tile, halo, **kw)
+
+        monkeypatch.setattr(tile_infer, "build_model_tile_steps", spy)
+        outs = {}
+        for bbox in (True, False):
+            out = getSegmentation(
+                img_path=p, patch_size=128, stride_size=128, batch_size=4,
+                quick=True, model="oracle", mode="breast",
+                probs_path=str(tmp_path / f"bb{bbox}-p.tiff"),
+                mask_path=str(tmp_path / f"bb{bbox}-m.tiff"),
+                uncertainty_path=str(tmp_path / f"bb{bbox}-u.tiff"),
+                supertile=1536, num_workers=2, data_parallel=False,
+                inference_mode="tile", tile_bbox_compute=bbox)
+            outs[bbox] = np.asarray(out).copy()
+        assert outs[True].any()  # the blob segmented to something
+        np.testing.assert_array_equal(outs[True], outs[False])
+        assert min(sizes) < 1536, sizes  # a sub-supertile bucket really ran
 
     def test_divisibility_validation(self, tmp_path, monkeypatch):
         from tests.fixtures import make_synthetic_slide
