@@ -268,13 +268,55 @@ def bench_tile(names, tta, patch):
     dt = (time.time() - t0) / iters
     equiv_pps = (tile * tile) / (stride * stride) / dt
 
-    print(json.dumps({
+    line = {
         "metric": "tile_mode_patch_equivalents_per_sec_per_chip",
         "value": round(equiv_pps, 2),
         "unit": "stride-128 patch equivalents/s/chip (3 models x 5 TTA, "
                 "fully-convolutional supertiles)",
         "vs_baseline": round(equiv_pps / TARGET_PPS_PER_CHIP, 3),
-    }))
+    }
+    if os.environ.get("DPAI_BENCH_BOTH", "1") != "0":
+        # tracked regression line for the engine-default patch path (the
+        # tile-default flip criterion is pinned in PARITY.md): rot here
+        # must be visible even while tile mode is the headline
+        try:
+            line["patch_mode_pps"] = round(
+                _measure_patch_mode(names, tta, patch), 2)
+        except Exception as e:  # never break the headline
+            print(f"# patch-mode regression line failed: {e!r}",
+                  file=sys.stderr)
+    print(json.dumps(line))
+
+
+def _measure_patch_mode(names, tta, patch, batch=32, iters=5):
+    """The reference-parity patch-mode step rate (same path as
+    DPAI_BENCH_MODE=patch, fewer iters)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from digipathai_tpu.engine.infer import build_step
+    from digipathai_tpu.models.registry import build_model
+    from digipathai_tpu.ops.stitch import make_accumulator
+
+    supertile = 4096
+    bundles = [build_model(n, dtype=jnp.bfloat16) for n in names]
+    variables = tuple(b.init(patch) for b in bundles)
+    step = build_step(bundles, tta, patch, with_checksum=True)
+    rng = np.random.default_rng(0)
+    patches = jnp.asarray(
+        rng.integers(0, 255, (batch, patch, patch, 3), np.uint8))
+    offsets = jnp.asarray(
+        rng.integers(0, supertile, (batch, 2)).astype(np.int32))
+    valid = jnp.ones((batch,), bool)
+    acc = make_accumulator(supertile, patch)
+    acc, checksum = step(variables, acc, patches, offsets, valid)
+    _ = float(jax.device_get(checksum))
+    t0 = time.time()
+    for _ in range(iters):
+        acc, checksum = step(variables, acc, patches, offsets, valid)
+    _ = float(jax.device_get(checksum))
+    return batch / ((time.time() - t0) / iters)
 
 
 def bench_e2e(names, tta):
@@ -282,8 +324,19 @@ def bench_e2e(names, tta):
     slide open -> tissue mask -> patch grid -> loader -> ensemble x TTA ->
     stitch -> finalize -> three pyramid artifacts. Reports patches/sec/chip
     end-to-end (including host I/O and artifact writing, excluding jit
-    compilation via a tiny warmup slide)."""
+    compilation via a tiny warmup slide).
+
+    DPAI_BENCH_E2E_TILE=1 runs the engine's tile fast path instead of the
+    reference-parity patch default; DPAI_BENCH_E2E_CRF=1 enables CRF (in
+    tile mode it runs per-supertile, overlapped — VERDICT r3 item 2);
+    DPAI_BENCH_E2E_BBOX=0 disables tissue-bbox compute cropping;
+    DPAI_BENCH_E2E_SPARSE=1 uses a CAMELYON-like sparse slide (tissue in
+    ~1/6 of the area) instead of the dense fixture — the workload where
+    bbox cropping pays.  Per-stage wall shares from status['timings'] go
+    to stderr."""
     import tempfile
+
+    import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.fixtures import make_synthetic_slide
@@ -292,24 +345,45 @@ def bench_e2e(names, tta):
     os.environ.setdefault("DPAI_OFFLINE", "1")
     d = tempfile.mkdtemp(prefix="dpai_bench_")
     quick = names == ["dense"]
+    tile_mode = os.environ.get("DPAI_BENCH_E2E_TILE") == "1"
+    use_crf = os.environ.get("DPAI_BENCH_E2E_CRF") == "1"
+    bbox = os.environ.get("DPAI_BENCH_E2E_BBOX", "1") == "1"
+    sparse = os.environ.get("DPAI_BENCH_E2E_SPARSE") == "1"
 
     def run(path, label):
         t0 = time.time()
+        status = {}
         out = getSegmentation(
             img_path=path, patch_size=256, stride_size=128, batch_size=32,
             quick=quick, model=names[0], mode="breast",
             tta_list=[t for t in tta if t != "DEFAULT"] or None,
+            crf=use_crf, tile_bbox_compute=bbox,
+            inference_mode="tile" if tile_mode else "patch",
             probs_path=os.path.join(d, label + "-p.tiff"),
             mask_path=os.path.join(d, label + "-m.tiff"),
             uncertainty_path=os.path.join(d, label + "-u.tiff"),
-            num_workers=16)
-        return time.time() - t0
+            num_workers=16, status=status)
+        dt = time.time() - t0
+        print(f"# e2e {label}: {dt:.1f}s timings={status.get('timings')}",
+              file=sys.stderr)
+        return dt
 
     warm = os.path.join(d, "warm.tiff")
     make_synthetic_slide(warm, 1024, 1024, seed=1)
     run(warm, "warm")  # compile everything
     big = os.path.join(d, "big.tiff")
-    make_synthetic_slide(big, 8192, 6144, seed=2)
+    if sparse:
+        # glass slide with one tissue block (~1/6 of the area): the
+        # supertile grid is mostly partial, like real CAMELYON16 slides
+        from tests.fixtures import render_he_like
+        from digipathai_tpu.io.backend import write_pyramid
+
+        img = np.full((6144, 8192, 3), 243, np.uint8)
+        sub, _, _ = render_he_like(3072, 2560, seed=2)
+        img[512:512 + sub.shape[0], 512:512 + sub.shape[1]] = sub
+        write_pyramid(big, img, compression="jpeg", quality=92, mpp=0.5)
+    else:
+        make_synthetic_slide(big, 8192, 6144, seed=2)
     # count patches from the plan for the normalized metric
     from digipathai_tpu.io.slide import Slide
     from digipathai_tpu.engine.planner import plan_patches
@@ -318,8 +392,10 @@ def bench_e2e(names, tta):
         n_patches = plan_patches(s, 256, 128, 32).total_patches
     secs = run(big, "big")
     pps = n_patches / secs
+    variant = ("_tile" if tile_mode else "") + ("_crf" if use_crf else "") \
+        + ("_sparse" if sparse else "") + ("" if bbox else "_nobbox")
     print(json.dumps({
-        "metric": "e2e_patches_per_sec_per_chip",
+        "metric": "e2e_patches_per_sec_per_chip" + variant,
         "value": round(pps, 2),
         "unit": f"end-to-end patches/s/chip ({len(names)} models x {len(tta)} TTA,"
                 f" {n_patches} patches incl. I/O + artifacts in {secs:.1f}s)",
