@@ -120,14 +120,23 @@ def _bilateral_message(q: jnp.ndarray, image: jnp.ndarray, sigma_xy: float,
         for dx in range(-radius, radius + 1):
             if dx == 0 and dy == 0:
                 continue
+            # shifts >= the grid extent have no valid pixel pairs at all;
+            # skipping them also keeps the wrap-mask slices below from
+            # going negative (a negative stop would wrap Python-style and
+            # mark wrapped-roll rows as valid — wrong messages on grids
+            # smaller than the window radius)
+            y0m, y1m = max(0, dy), h + min(0, dy)
+            x0m, x1m = max(0, dx), w + min(0, dx)
+            if y1m <= y0m or x1m <= x0m:
+                continue
             sq = jnp.roll(q, (dy, dx), axis=(0, 1))
             si = jnp.roll(img, (dy, dx), axis=(0, 1))
             wgt = jnp.exp(
                 -(dy * dy + dx * dx) * inv2_xy
                 - jnp.sum((img - si) ** 2, -1, keepdims=True) * inv2_c)
             # mask out wrap-around rows/cols from roll
-            ys = jnp.zeros((h, 1, 1), q.dtype).at[max(0, dy):h + min(0, dy)].set(1.0)
-            xs = jnp.zeros((1, w, 1), q.dtype).at[:, max(0, dx):w + min(0, dx)].set(1.0)
+            ys = jnp.zeros((h, 1, 1), q.dtype).at[y0m:y1m].set(1.0)
+            xs = jnp.zeros((1, w, 1), q.dtype).at[:, x0m:x1m].set(1.0)
             wgt = wgt * ys * xs
             num = num + wgt * sq
             den = den + wgt
@@ -322,6 +331,18 @@ def refine_tile(img_u8, probs, supertile: int, n_iters: int = 10,
     import numpy as np
 
     h, w = probs.shape
+    ds = kw.get("bil_downsample", 4)
+    if h < ds or w < ds:
+        # sliver tiles (a valid extent smaller than one downsample cell):
+        # the masked bucket program cannot represent a sub-cell extent (its
+        # boundary cell straddles the pad and carries the sentinel color,
+        # zeroing the whole bilateral term), while the unpadded path clamps
+        # the downsample to the tile.  Take the per-shape unpadded compile:
+        # at most one row + one column + one corner shape per slide, and
+        # only for pathological slide dimensions (< ds mod supertile).
+        refined = mean_field_crf(jnp.asarray(img_u8), jnp.asarray(probs),
+                                 n_iters=n_iters, **kw)
+        return np.asarray(jax.device_get(refined))
     buckets = crf_buckets(supertile)
     bh = next(b for b in buckets if b >= h)
     bw = next(b for b in buckets if b >= w)
@@ -336,6 +357,17 @@ def refine_tile(img_u8, probs, supertile: int, n_iters: int = 10,
                              n_iters=n_iters,
                              valid_hw=jnp.asarray([h, w], jnp.int32), **kw)
     return np.asarray(jax.device_get(refined))[:h, :w]
+
+
+def slide_tile_index(oy: int, ox: int, X: int, supertile: int) -> int:
+    """Row-major supertile index of the tile at map offset ``(oy, ox)``.
+
+    Single source of truth for the CRF resume bookkeeping: the engine's
+    per-flush callback and :func:`refine_slide_crf`'s post-pass must agree
+    on tile numbering or resumed runs would re-refine (CRF is
+    non-idempotent in place).
+    """
+    return (oy // supertile) * (-(-X // supertile)) + (ox // supertile)
 
 
 def refine_slide_crf(slide, mean_map, supertile: int = 4096,
@@ -354,10 +386,9 @@ def refine_slide_crf(slide, mean_map, supertile: int = 4096,
     import numpy as np
 
     Y, X = mean_map.shape
-    ti = -1
     for y0 in range(0, Y, supertile):
         for x0 in range(0, X, supertile):
-            ti += 1
+            ti = slide_tile_index(y0, x0, X, supertile)
             if done is not None and ti in done:
                 continue
             y1, x1 = min(y0 + supertile, Y), min(x0 + supertile, X)

@@ -71,7 +71,16 @@ class ServerConfig:
             if v is not None:
                 kw[kwarg] = v
         if self.tta is not None:
-            kw["tta_list"] = list(FULL_TTA) if self.tta == "all" else list(self.tta)
+            # accept "all", a comma-joined string from a config file
+            # (TTA = "hflip,vflip"), or any iterable of names — a bare
+            # string must not be iterated char-by-char
+            if self.tta == "all":
+                kw["tta_list"] = list(FULL_TTA)
+            elif isinstance(self.tta, str):
+                kw["tta_list"] = [t.strip() for t in self.tta.split(",")
+                                  if t.strip()]
+            else:
+                kw["tta_list"] = list(self.tta)
         kw.update(self.engine_extra)
         return kw
 

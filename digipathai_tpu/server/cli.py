@@ -125,8 +125,16 @@ def build_config(argv=None) -> tuple:
         cfg.resume = True
     if opts.data_parallel is not None:
         v = opts.data_parallel.lower()
-        cfg.data_parallel = (True if v == "true" else
-                             False if v == "false" else int(opts.data_parallel))
+        if v in ("true", "yes", "on"):
+            cfg.data_parallel = True
+        elif v in ("false", "no", "off"):
+            cfg.data_parallel = False
+        else:
+            try:
+                cfg.data_parallel = int(opts.data_parallel)
+            except ValueError:
+                parser.error("--data-parallel takes true/false or a device "
+                             f"count, got {opts.data_parallel!r}")
     for item in opts.engine_opt:
         if "=" not in item:
             parser.error(f"--engine-opt needs KEY=VALUE, got {item!r}")

@@ -154,6 +154,59 @@ class TestPaddedTileCRF:
         out = refine_tile(img, probs, supertile=256, n_iters=3)
         np.testing.assert_allclose(out, ref, atol=2e-3)
 
+    @pytest.mark.parametrize("hw", [(2, 130), (130, 3), (8, 64), (3, 3)])
+    def test_refine_tile_sliver_and_small_tiles(self, rng, hw):
+        """Sliver tiles (an extent < bil_downsample) fall back to the
+        unpadded per-shape program, and small tiles (grid smaller than the
+        bilateral window radius) must not mark wrapped-roll rows as valid
+        — both were wrong before round 4's review: the padded path zeroed
+        the whole bilateral term for slivers (deviation up to 0.99) and the
+        wrap mask's negative slice stop double-counted neighbors on small
+        grids (denominator 9.80 vs ground-truth 6.91)."""
+        import jax.numpy as jnp
+
+        from digipathai_tpu.ops.crf import mean_field_crf, refine_tile
+
+        h, w = hw
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        probs = rng.random((h, w)).astype(np.float32)
+        ref = np.asarray(mean_field_crf(jnp.asarray(img), jnp.asarray(probs),
+                                        n_iters=3))
+        out = refine_tile(img, probs, supertile=256, n_iters=3)
+        assert out.shape == (h, w)
+        np.testing.assert_allclose(out, ref, atol=2e-3)
+
+    def test_bilateral_wrap_mask_ground_truth(self, rng):
+        """_bilateral_message on a grid smaller than the window radius,
+        checked against a brute-force O(N^2) pairwise sum."""
+        from digipathai_tpu.ops.crf import _bilateral_message
+
+        h, w, radius = 3, 5, 10
+        sigma_xy, sigma_rgb = 50.0 / 4, 20.0
+        img = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
+        q = rng.random((h, w, 2)).astype(np.float32)
+        num = np.zeros_like(q)
+        den = np.zeros((h, w, 1), np.float32)
+        for y in range(h):
+            for x in range(w):
+                for yy in range(h):
+                    for xx in range(w):
+                        if (yy, xx) == (y, x):
+                            continue
+                        dy, dx = yy - y, xx - x
+                        if max(abs(dy), abs(dx)) > radius:
+                            continue
+                        wgt = np.exp(
+                            -(dy * dy + dx * dx) / (2 * sigma_xy ** 2)
+                            - ((img[y, x] - img[yy, xx]) ** 2).sum()
+                            / (2 * sigma_rgb ** 2))
+                        num[y, x] += wgt * q[yy, xx]
+                        den[y, x] += wgt
+        ref = num / np.maximum(den, 1e-12)
+        out = np.asarray(_bilateral_message(
+            jnp.asarray(q), jnp.asarray(img), sigma_xy, sigma_rgb, radius))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
     def test_one_program_per_bucket(self, rng):
         """Different edge shapes sharing a bucket must NOT retrace: the
         valid extents are dynamic inputs, not compiled constants."""

@@ -170,3 +170,43 @@ class TestQuantizedModel:
         # probabilities: deviations accumulate across ~60 quantized convs
         assert np.mean(np.abs(pe - pq)) < 0.05
         assert np.isfinite(pq).all()
+
+
+def test_engine_static_quant_autocalibrates(tmp_path, monkeypatch):
+    """getSegmentation(quantized="static") must reach the static int8 path
+    (auto-calibrating on real tissue patches), not silently downgrade to
+    dynamic quantization — the pre-round-4 bug coerced the mode to True."""
+    import os
+
+    from digipathai_tpu import Slide, getSegmentation
+    from digipathai_tpu.models import quant as quant_mod
+    from tests.fixtures import make_synthetic_slide
+
+    monkeypatch.setenv("DPAI_OFFLINE", "1")
+    monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+    calls = []
+    real_calibrate = quant_mod.calibrate
+
+    def spy(*a, **kw):
+        out = real_calibrate(*a, **kw)
+        calls.append(jax.tree_util.tree_leaves(out))
+        return out
+
+    monkeypatch.setattr(quant_mod, "calibrate", spy)
+    p = str(tmp_path / "sq-slide.tiff")
+    make_synthetic_slide(p, 512, 512, seed=5)
+    getSegmentation(
+        img_path=p, patch_size=128, stride_size=128, batch_size=4,
+        quick=True, model="dense", mode="colon",
+        probs_path=str(tmp_path / "p.tiff"),
+        mask_path=str(tmp_path / "m.tiff"),
+        uncertainty_path=str(tmp_path / "u.tiff"),
+        supertile=256, quantized="static",
+        data_parallel=False, compute_dtype=jnp.float32, status={})
+    assert os.path.exists(str(tmp_path / "m.tiff"))
+    with Slide(str(tmp_path / "m.tiff")) as s:
+        assert s.dimensions == (512, 512)
+    # the static path calibrated per-layer scales, and they are real
+    # (non-zero) activation maxima, not initializer zeros
+    assert len(calls) == 1
+    assert all(float(a) > 0 for a in calls[0])

@@ -263,6 +263,30 @@ class TestSegmentEndpoint:
         cfg2, _ = build_config(["/tmp"])
         assert cfg2.engine_kwargs() == {}
 
+    def test_engine_knob_string_and_bool_parsing(self):
+        """Config-file style values: a bare TTA string must not be split
+        char-by-char, and --data-parallel accepts yes/no words (or errors
+        cleanly on garbage instead of an int() traceback)."""
+        import pytest
+
+        from digipathai_tpu.server.app import ServerConfig
+        from digipathai_tpu.server.cli import build_config
+
+        cfg = ServerConfig(tta="FLIP_LEFT_RIGHT,ROTATE_90")
+        assert cfg.engine_kwargs()["tta_list"] == ["FLIP_LEFT_RIGHT",
+                                                   "ROTATE_90"]
+        assert (ServerConfig(tta="FLIP_TOP_BOTTOM").engine_kwargs()
+                ["tta_list"] == ["FLIP_TOP_BOTTOM"])
+
+        cfg, _ = build_config(["--data-parallel", "yes", "/tmp"])
+        assert cfg.data_parallel is True
+        cfg, _ = build_config(["--data-parallel", "off", "/tmp"])
+        assert cfg.data_parallel is False
+        cfg, _ = build_config(["--data-parallel", "2", "/tmp"])
+        assert cfg.data_parallel == 2
+        with pytest.raises(SystemExit):
+            build_config(["--data-parallel", "maybe", "/tmp"])
+
     def test_segmentation_error_surfaces(self, slide_dir):
         def boom(**kw):
             raise RuntimeError("synthetic failure")
