@@ -184,15 +184,21 @@ def mean_field_crf(image_u8: jnp.ndarray, probs_fg: jnp.ndarray,
     u = -jnp.log(jnp.clip(jnp.stack([1.0 - probs_fg, probs_fg], -1),
                           1e-5, 1.0))  # unary_from_softmax w/ clip
 
-    for _ in range(n_iters):
+    def _iteration(_, q):
         m_gauss = _gaussian_message(q, pos_sigma, mask)
         m_bil = production_bilateral_message(
             q, image_u8, bil_sigma_xy, bil_sigma_rgb, bil_downsample,
             bil_radius, valid_hw=valid_hw)
         logits = -u + compat_gaussian * m_gauss + compat_bilateral * m_bil
         q = jax.nn.softmax(logits, axis=-1)
-        if mask is not None:
-            q = q * mask
+        return q * mask if mask is not None else q
+
+    # lax.fori_loop, NOT a python loop: unrolling n_iters copies of the
+    # full-resolution update keeps every iteration's temporaries live at
+    # once — at the 4096 bucket that is >17.6 GB and the TPU compile dies
+    # with an HBM OOM ("Used 17.65G of 15.75G hbm").  The loop bounds the
+    # working set to one iteration (~1.5 GB at 4096^2), same math.
+    q = lax.fori_loop(0, n_iters, _iteration, q)
     return q[..., 1]
 
 
@@ -247,14 +253,17 @@ def _mean_field_from_unary(image_u8, unary, *, n_labels: int, n_iters: int,
                            bil_radius: int, compat_bilateral: float):
     """Multi-label mean-field iterations from an explicit unary (H, W, L)."""
     q = jax.nn.softmax(-unary, axis=-1)  # pydensecrf startInference
-    for _ in range(n_iters):
+
+    def _iteration(_, q):
         m = compat_gaussian * _gaussian_message(q, pos_sigma)
         if enable_color:
             m = m + compat_bilateral * production_bilateral_message(
                 q, image_u8, bil_sigma_xy, bil_sigma_rgb, bil_downsample,
                 bil_radius)
-        q = jax.nn.softmax(-unary + m, axis=-1)
-    return q
+        return jax.nn.softmax(-unary + m, axis=-1)
+
+    # fori_loop for the same HBM-liveness reason as mean_field_crf
+    return lax.fori_loop(0, n_iters, _iteration, q)
 
 
 def do_crf(im, mask, n_labels: int, enable_color: bool = False,
