@@ -54,6 +54,54 @@ class TestMeanFieldCRF:
         assert out.shape == (64, 80)
         assert (out >= 0).all() and (out <= 1).all()
 
+    def test_iterations_lower_to_bounded_loop(self, rng):
+        # The mean-field iterations must trace as ONE loop primitive, not
+        # n_iters unrolled copies: unrolling keeps every iteration's
+        # full-resolution temporaries live simultaneously, which OOMs TPU
+        # HBM at the 4096 CRF bucket (17.65G of 15.75G, round 4).  Pin the
+        # structure so a refactor back to a python loop fails here instead
+        # of on hardware.
+        import jax
+        from digipathai_tpu.ops.crf import _mean_field_from_unary
+
+        from jax.extend import core as jex_core
+
+        def subjaxprs(params):
+            for v in params.values():
+                vals = v if isinstance(v, (tuple, list)) else (v,)
+                for x in vals:
+                    if isinstance(x, jex_core.ClosedJaxpr):
+                        yield x.jaxpr
+                    elif isinstance(x, jex_core.Jaxpr):
+                        yield x
+
+        def count_loops(jaxpr):
+            n = 0
+            for eqn in jaxpr.eqns:
+                if eqn.primitive.name in ("while", "scan"):
+                    n += 1  # do not recurse: inner loops belong to the body
+                    continue
+                for sub in subjaxprs(eqn.params):
+                    n += count_loops(sub)
+            return n
+
+        img = rng.integers(0, 255, (32, 40, 3), dtype=np.uint8)
+        p = rng.random((32, 40)).astype(np.float32)
+        jaxpr = jax.make_jaxpr(
+            lambda i, q: mean_field_crf(i, q, n_iters=10, bil_radius=3)
+        )(jnp.asarray(img), jnp.asarray(p))
+        assert count_loops(jaxpr.jaxpr) == 1, jaxpr
+
+        unary = rng.random((32, 40, 3)).astype(np.float32)
+        jaxpr2 = jax.make_jaxpr(
+            lambda i, u: _mean_field_from_unary(
+                i, u, n_labels=3, n_iters=5, enable_color=True,
+                pos_sigma=3.0, compat_gaussian=3.0, bil_sigma_xy=80.0,
+                bil_sigma_rgb=13.0, bil_downsample=8, bil_radius=10,
+                compat_bilateral=10.0)
+        )(jnp.asarray(img), jnp.asarray(unary))
+        assert count_loops(jaxpr2.jaxpr) == 1, jaxpr2
+
 
 class TestDoCRF:
     """Label-input variant (reference helpers/utils.py:548-566)."""
