@@ -54,7 +54,7 @@ class TestMeanFieldCRF:
         assert out.shape == (64, 80)
         assert (out >= 0).all() and (out <= 1).all()
 
-    def test_iterations_lower_to_bounded_loop(self, rng):
+    def test_iterations_lower_to_bounded_loop(self):
         # The mean-field iterations must trace as ONE loop primitive, not
         # n_iters unrolled copies: unrolling keeps every iteration's
         # full-resolution temporaries live simultaneously, which OOMs TPU
@@ -63,6 +63,8 @@ class TestMeanFieldCRF:
         # of on hardware.
         import jax
         from digipathai_tpu.ops.crf import _mean_field_from_unary
+
+        rng = np.random.default_rng(3)  # local: keep the session stream intact
 
         from jax.extend import core as jex_core
 
