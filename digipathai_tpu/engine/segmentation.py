@@ -266,9 +266,13 @@ def getSegmentation(img_path,
         sel = g0.coords[np.asarray(g0.valid, bool)][:8]
         if len(sel) == 0:
             sel = g0.coords[:1]
+        # read_region returns (row=y, col=x, c); transpose each patch to the
+        # engine's (x, y, c) patch orientation (PatchLoader._read_patch) so
+        # the calibrated abs-max sees the same activation layout as inference
         sample = np.stack([
             np.asarray(slide.read_region((int(x), int(y)), 0,
                                          (patch_size, patch_size)))[..., :3]
+            .transpose(1, 0, 2)
             for x, y in sel]).astype(np.uint8)
         for i, (name, b) in enumerate(zip(model_names, bundles)):
             ckw = {k: v for k, v in model_kws[b.name].items()
@@ -297,10 +301,14 @@ def getSegmentation(img_path,
     path_tag = hashlib.sha256(abs_path.encode()).hexdigest()[:10]
     stem = f"{Path(str(img_path)).stem}-{path_tag}"
 
+    # crf and quantized are in the key because both change what the maps
+    # CONTAIN (flush-time CRF refinement / int8 probabilities): resuming a
+    # crashed run with either knob flipped must not mix old and new tiles
     cfg_key = hashlib.sha256(repr((
         abs_path, X, Y, patch_size, stride_size, global_batch, supertile,
         tuple(model_names), tuple(tta_full), faithful_tta,
-        inference_mode, mask_predictions)).encode()).hexdigest()
+        inference_mode, mask_predictions, bool(crf), quantized)).encode()
+    ).hexdigest()
     state_path = mdir / f"{stem}-stitch.json"
     completed: set = set()
     crf_tiles_done: set = set()
@@ -330,7 +338,12 @@ def getSegmentation(img_path,
 
     import threading
 
-    _state_lock = threading.Lock()  # flusher threads save concurrently
+    # guards BOTH the state file write and every mutation of the progress
+    # sets (completed / crf_tiles_done): flusher threads mutate them while
+    # save_state's sorted() iterates — an unguarded add in another thread
+    # raises "set changed size during iteration".  RLock because save_state
+    # is called while the lock is already held (tile mode's on_group_done).
+    _state_lock = threading.RLock()
 
     def save_state(mark_finalized: bool = False, inflight=None):
         # finalize is non-idempotent (mean /= count); the marker prevents a
@@ -366,8 +379,9 @@ def getSegmentation(img_path,
         os.replace(tmp, sp)
         y0, y1, x0, x1 = box
         mean_map[y0:y1, x0:x1] = refined
-        crf_tiles_done.add(ti)
-        save_state()
+        with _state_lock:
+            crf_tiles_done.add(ti)
+            save_state()
         sp.unlink(missing_ok=True)
 
     tile_crf_cb = None
@@ -419,7 +433,8 @@ def getSegmentation(img_path,
                 compute_dtype=compute_dtype, completed=completed,
                 on_group_done=lambda gi: save_state(), n_devices=n_dev,
                 faithful_tta=faithful_tta, spatial_shard=spatial_shard,
-                crf_cb=tile_crf_cb, bbox_compute=tile_bbox_compute)
+                crf_cb=tile_crf_cb, bbox_compute=tile_bbox_compute,
+                state_lock=_state_lock)
     else:
         from ..ops.stitch import add_counts_host
 
@@ -501,8 +516,9 @@ def getSegmentation(img_path,
                 if fetch_planes > 1:
                     var_map[my:my + wy, mx:mx + wx] += host[1, :wy, :wx]
                 add_counts_host(count_map, g.coords, g.valid, patch_size)
-            completed.add(gi)
-            save_state()  # clears the inflight taint
+            with _state_lock:
+                completed.add(gi)
+                save_state()  # clears the inflight taint
 
         from concurrent.futures import ThreadPoolExecutor
 

@@ -185,13 +185,42 @@ def build_tile_step_sp(bundles: Sequence, tta_list: Sequence[str],
                    out_shardings=(out_sh, out_sh))
 
 
+def fetch_window(coords_valid, ox, oy, S, halo, buckets, wx0, wy0,
+                 mean_shape):
+    """Device->host fetch window for a flushed supertile result.
+
+    Returns ``(rx0, ry0, bx, by)`` in supertile coordinates.  The number of
+    distinct ``(bx, by)`` shapes must stay bounded (each is a separate jit
+    compile of the crop program — expensive through a remote-compile relay):
+    under bbox compute cropping the result is the compute window itself
+    (<=3 bucket shapes); otherwise a bucketed tissue bbox (<=9 shapes).
+    """
+    if mean_shape[0] < S:
+        # bbox-computed window (one of <=3 compute buckets): fetch it
+        # whole.  It is already the bucketed tissue bbox, so an inner
+        # fetch crop saves almost nothing — and clamping a fetch bucket
+        # into the window would produce per-tile crop shapes, i.e.
+        # unbounded distinct jit compiles through the slow remote relay.
+        return wx0, wy0, int(mean_shape[0]), int(mean_shape[1])
+    c = coords_valid
+    patch = 2 * halo
+    rx0 = max(0, int(c[:, 0].min() - ox) - halo)
+    ry0 = max(0, int(c[:, 1].min() - oy) - halo)
+    sx = min(S, int(c[:, 0].max() - ox) + patch + halo) - rx0
+    sy = min(S, int(c[:, 1].max() - oy) + patch + halo) - ry0
+    bx = next(b for b in buckets if b >= sx)
+    by = next(b for b in buckets if b >= sy)
+    return min(rx0, S - bx), min(ry0, S - by), bx, by
+
+
 def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                        mean_map, var_map, count_map, *, halo: int,
                        status=None, timer=None, progress_cb=None,
                        compute_dtype=jnp.bfloat16, completed=None,
                        on_group_done=None, n_devices: int = 1,
                        faithful_tta: bool = False, spatial_shard="auto",
-                       crf_cb=None, bbox_compute: bool = True):
+                       crf_cb=None, bbox_compute: bool = True,
+                       state_lock=None):
     """Segment every tissue supertile fully convolutionally.
 
     Reuses the patch plan's supertile groups purely as a tissue index (a
@@ -283,7 +312,10 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
             cbuckets = [S]
     total = max(len(plan.groups), 1)
     done = len(completed)
-    lock = threading.Lock()
+    # the caller's state lock when resuming is live (segmentation.py passes
+    # an RLock shared with save_state, so `completed.add` here can never
+    # race save_state's sorted() iteration in another flusher thread)
+    lock = state_lock if state_lock is not None else threading.Lock()
 
     # bucketed tissue-bbox crop before fetching (see segmentation.flush):
     # sparse supertiles move a fraction of the S^2 result planes
@@ -300,22 +332,8 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
         ox, oy = g.origin
         w = min(S, X - ox)
         h = min(S, Y - oy)
-        c = g.coords[g.valid]
-        patch = 2 * halo
-        rx0 = max(0, int(c[:, 0].min() - ox) - halo)
-        ry0 = max(0, int(c[:, 1].min() - oy) - halo)
-        sx = min(S, int(c[:, 0].max() - ox) + patch + halo) - rx0
-        sy = min(S, int(c[:, 1].max() - oy) + patch + halo) - ry0
-        bx = next(b for b in buckets if b >= sx)
-        by = next(b for b in buckets if b >= sy)
-        rx0 = min(rx0, S - bx)
-        ry0 = min(ry0, S - by)
-        # the fetch crop must stay inside the computed window; the window
-        # bucket is >= max(sx, sy), so pulling the start right is enough
-        rx0 = max(rx0, wx0)
-        ry0 = max(ry0, wy0)
-        bx = min(bx, wx0 + mean.shape[0] - rx0)
-        by = min(by, wy0 + mean.shape[1] - ry0)
+        rx0, ry0, bx, by = fetch_window(
+            g.coords[g.valid], ox, oy, S, halo, buckets, wx0, wy0, mean.shape)
         ctx = timer.stage("flush") if timer else _null()
         with ctx:
             mean_h = np.asarray(jax.device_get(

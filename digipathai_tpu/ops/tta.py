@@ -28,6 +28,17 @@ ROTATE_270 = "ROTATE_270"
 
 ALLOWED = (FLIP_LEFT_RIGHT, ROTATE_90, ROTATE_180, ROTATE_270)
 
+#: common config-file spellings, normalized case-insensitively by
+#: resolve_tta_list.  The reference's dihedral set has no vertical flip, so
+#: "vflip" stays an error (with the allowed list in the message).
+ALIASES = {
+    "hflip": FLIP_LEFT_RIGHT, "fliplr": FLIP_LEFT_RIGHT,
+    "rot90": ROTATE_90, "rotate90": ROTATE_90,
+    "rot180": ROTATE_180, "rotate180": ROTATE_180,
+    "rot270": ROTATE_270, "rotate270": ROTATE_270,
+    "none": DEFAULT, "identity": DEFAULT,
+}
+
 
 def apply(batch: jnp.ndarray, tta: str) -> jnp.ndarray:
     """Forward transform of a (B, X, Y, C) batch (np semantics on (X, Y, C))."""
@@ -62,10 +73,16 @@ def resolve_tta_list(tta_list) -> List[str]:
     (the reference treats it as a no-op transform rather than an error)."""
     if tta_list is None:
         return [DEFAULT]
+    norm = []
     for t in tta_list:
-        if t not in ALLOWED and t != DEFAULT:
-            raise ValueError(f"unknown TTA {t!r}; allowed: {list(ALLOWED)}")
-    return [DEFAULT] + [t for t in tta_list if t != DEFAULT]
+        u = str(t).upper()
+        u = ALIASES.get(str(t).lower(), u)
+        if u not in ALLOWED and u != DEFAULT:
+            raise ValueError(
+                f"unknown TTA {t!r}; allowed: {list(ALLOWED)} "
+                f"(or aliases {sorted(ALIASES)})")
+        norm.append(u)
+    return [DEFAULT] + [t for t in norm if t != DEFAULT]
 
 
 def effective_transforms(tta_list: Sequence[str], faithful: bool = False) -> List[List[str]]:

@@ -72,8 +72,10 @@ class ServerConfig:
                 kw[kwarg] = v
         if self.tta is not None:
             # accept "all", a comma-joined string from a config file
-            # (TTA = "hflip,vflip"), or any iterable of names — a bare
-            # string must not be iterated char-by-char
+            # (TTA = "FLIP_LEFT_RIGHT,ROTATE_90" — common aliases like
+            # "hflip"/"rot90" are normalized by resolve_tta_list), or any
+            # iterable of names — a bare string must not be iterated
+            # char-by-char
             if self.tta == "all":
                 kw["tta_list"] = list(FULL_TTA)
             elif isinstance(self.tta, str):

@@ -122,6 +122,16 @@ class TestTTA:
         with pytest.raises(ValueError):
             tta.resolve_tta_list(["ROTATE_45"])
 
+    def test_resolve_list_aliases(self):
+        # config-file spellings (server ServerConfig.tta) normalize to the
+        # canonical names; unsupported ones still fail with the allowed list
+        assert tta.resolve_tta_list(["hflip", "rot90"]) == [
+            "DEFAULT", "FLIP_LEFT_RIGHT", "ROTATE_90"]
+        assert tta.resolve_tta_list(["rotate_180"]) == ["DEFAULT", "ROTATE_180"]
+        assert tta.resolve_tta_list(["none"]) == ["DEFAULT"]
+        with pytest.raises(ValueError, match="vflip"):
+            tta.resolve_tta_list(["vflip"])  # no vertical flip in the set
+
     def test_faithful_compounding_chains(self):
         lst = ["DEFAULT", "FLIP_LEFT_RIGHT", "ROTATE_90"]
         chains = tta.effective_transforms(lst, faithful=True)

@@ -134,3 +134,29 @@ class TestResume:
         # different stride -> state invalid -> full rerun, still correct
         out = getSegmentation(stride_size=64, resume=True, **kw)
         assert set(np.unique(np.asarray(out))) <= {0, 255}
+
+    def test_crf_knob_change_invalidates_state(self, tmp_path, monkeypatch):
+        """cfg_key covers the crf knob: resuming a run with crf flipped must
+        not reuse the old maps (tile mode refines tiles in place at flush, so
+        a stale resume would silently mix refined and raw tiles)."""
+        from tests.fixtures import make_synthetic_slide
+        from digipathai_tpu.engine.segmentation import getSegmentation
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = str(tmp_path / "crfk-slide.tiff")
+        make_synthetic_slide(p, 512, 512, seed=37)
+        kw = dict(img_path=p, patch_size=128, stride_size=128, batch_size=4,
+                  quick=True, model="oracle", mode="breast",
+                  probs_path=str(tmp_path / "p.tiff"),
+                  mask_path=str(tmp_path / "m.tiff"),
+                  uncertainty_path=str(tmp_path / "u.tiff"),
+                  supertile=256, num_workers=2, data_parallel=False)
+        calls = {"n": 0}
+
+        def cb(done, total):
+            calls["n"] = done
+
+        getSegmentation(crf=False, **kw)
+        getSegmentation(crf=True, resume=True, progress_cb=cb, **kw)
+        assert calls["n"] > 0  # state invalidated -> inference actually reran

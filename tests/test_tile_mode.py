@@ -168,6 +168,84 @@ class TestTileMode:
         np.testing.assert_array_equal(outs[True], outs[False])
         assert min(sizes) < 1536, sizes  # a sub-supertile bucket really ran
 
+    def test_fetch_window_shapes_are_bounded(self):
+        """The device->host fetch crop must compile a bounded set of shapes:
+        under bbox compute cropping the whole (bucketed) compute window is
+        fetched — clamping a fetch bucket into the window would yield a
+        distinct jit shape per tile through the slow remote-compile relay."""
+        import numpy as np
+
+        from digipathai_tpu.engine.tile_infer import fetch_window
+
+        S, halo = 4000, 64  # bucket sets diverge: fetch {1000,2000,4000}
+        buckets = sorted({(S + 3) // 4, (S + 1) // 2, S})
+        rng = np.random.default_rng(11)
+        shapes = set()
+        for _ in range(50):
+            x0, y0 = rng.integers(0, S - 256, 2)
+            c = np.stack([rng.integers(x0, x0 + 200, 8),
+                          rng.integers(y0, y0 + 200, 8)], 1)
+            # compute window = 32-aligned bucket (as run_tile_inference picks)
+            b = 1024
+            wx0 = min(max(0, int(c[:, 0].min()) - halo), S - b)
+            wy0 = min(max(0, int(c[:, 1].min()) - halo), S - b)
+            rx0, ry0, bx, by = fetch_window(
+                c, 0, 0, S, halo, buckets, wx0, wy0, (b, b))
+            shapes.add((bx, by))
+            # fetch stays inside the computed window
+            assert rx0 >= wx0 and ry0 >= wy0
+            assert rx0 + bx <= wx0 + b and ry0 + by <= wy0 + b
+            # and covers every tissue pixel + its halo write fringe
+            assert rx0 <= max(0, c[:, 0].min() - halo)
+            assert rx0 + bx >= min(S, c[:, 0].max() + 2 * halo + halo)
+        assert shapes == {(1024, 1024)}  # one shape: the compute bucket
+        # full-tile path (no bbox compute): bucketed bbox, <= 9 shapes
+        shapes = set()
+        for _ in range(50):
+            x0, y0 = rng.integers(0, S - 300, 2)
+            c = np.stack([rng.integers(x0, x0 + 280, 8),
+                          rng.integers(y0, y0 + 280, 8)], 1)
+            rx0, ry0, bx, by = fetch_window(
+                c, 0, 0, S, halo, buckets, 0, 0, (S, S))
+            shapes.add((bx, by))
+            assert bx in buckets and by in buckets
+        assert len(shapes) <= 9
+
+    def test_tile_mode_shares_state_lock_with_save_state(self, tmp_path,
+                                                         monkeypatch):
+        """Regression (ADVICE r4 medium): flusher threads mutate the progress
+        sets while save_state's sorted() iterates them — the engine must hand
+        tile_infer the same (re-entrant) lock that guards save_state."""
+        from tests.fixtures import make_synthetic_slide
+        from digipathai_tpu.engine import tile_infer
+        from digipathai_tpu.engine.segmentation import getSegmentation
+
+        monkeypatch.setenv("DPAI_OFFLINE", "1")
+        monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+        p = str(tmp_path / "lk-slide.tiff")
+        make_synthetic_slide(p, 512, 512, seed=45)
+        captured = {}
+        orig = tile_infer.run_tile_inference
+
+        def spy(*a, **kw):
+            captured["lock"] = kw.get("state_lock")
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(tile_infer, "run_tile_inference", spy)
+        getSegmentation(
+            img_path=p, patch_size=128, stride_size=128, batch_size=4,
+            quick=True, model="oracle", mode="breast",
+            probs_path=str(tmp_path / "lk-p.tiff"),
+            mask_path=str(tmp_path / "lk-m.tiff"),
+            uncertainty_path=str(tmp_path / "lk-u.tiff"),
+            supertile=384, num_workers=2, data_parallel=False,
+            inference_mode="tile")
+        lk = captured["lock"]
+        assert lk is not None
+        with lk:
+            with lk:  # re-entrant: on_group_done -> save_state re-acquires
+                pass
+
     def test_divisibility_validation(self, tmp_path, monkeypatch):
         from tests.fixtures import make_synthetic_slide
         from digipathai_tpu.engine.segmentation import getSegmentation
