@@ -18,7 +18,13 @@ overlap recompute. BASELINE.json config 4 minus CRF (CRF is flag-gated off
 in the reference too, ``reference Segmentation.py:327-331``).
 
 DPAI_BENCH_MODE=e2e: whole pipeline incl. host I/O and artifact pyramids.
-DPAI_BENCH_QUANT=1: opt-in int8 path (models/quant.py).
+DPAI_BENCH_QUANT=1: opt-in int8 path (models/quant.py); 2 = static-calibrated
+scales; "deeplabv3:static" quantizes only the named models (per-model spec).
+DPAI_BENCH_DP=N: run the tile step on N local chips at once (each chip gets
+its own supertile — the engine's round-robin scheme, tile_infer.py:230-237);
+patch mode shards the batch via parallel/inference.build_sharded_step. The
+headline value stays per-chip; "dp" and "aggregate" fields are added. This
+is how a real multi-chip host produces the v5e-N number (VERDICT r4 item 2c).
 
 vs_baseline: ratio to the v5e-8 north-star requirement of 312
 patches/sec/chip, derived from BASELINE.json's <60 s CAMELYON16 target:
@@ -97,6 +103,11 @@ def main():
         return bench_e2e(names, tta)
 
     t0 = time.time()
+    dp = max(1, int(os.environ.get("DPAI_BENCH_DP", "1")))
+    if dp > len(jax.local_devices()):
+        print(f"# DPAI_BENCH_DP={dp} > {len(jax.local_devices())} local "
+              "devices — clamping", file=sys.stderr)
+        dp = len(jax.local_devices())
     bundles = [build_model(n, dtype=jnp.bfloat16) for n in names]
     variables = tuple(b.init(patch) for b in bundles)
     if os.environ.get("DPAI_BENCH_FOLD_BN") == "1":
@@ -107,37 +118,72 @@ def main():
     print(f"# init {time.time() - t0:.1f}s on {jax.devices()[0].platform}",
           file=sys.stderr)
 
-    step = build_step(bundles, tta, patch, with_checksum=True)
     rng = np.random.default_rng(0)
     patches = jnp.asarray(rng.integers(0, 255, (batch, patch, patch, 3), np.uint8))
     offsets = jnp.asarray(
         rng.integers(0, supertile, (batch, 2)).astype(np.int32))
     valid = jnp.ones((batch,), bool)
-    acc = make_accumulator(supertile, patch)
+
+    if dp > 1:
+        # grid-DP over local chips (parallel/inference.py): each chip
+        # forwards its batch shard into its own accumulator; the fetch
+        # below all-reduces once.  batch stays the PER-CHIP size so the
+        # per-chip rate is comparable to dp=1 (VERDICT r4 item 2c).
+        from digipathai_tpu.parallel import inference as par
+
+        mesh = par.make_dp_mesh(dp)
+        sstep = par.build_sharded_step(bundles, tta, patch, mesh)
+        gb = batch * dp
+        patches = jnp.asarray(
+            rng.integers(0, 255, (gb, patch, patch, 3), np.uint8))
+        offsets = jnp.asarray(
+            rng.integers(0, supertile, (gb, 2)).astype(np.int32))
+        valid = jnp.ones((gb,), bool)
+        sharded = par.shard_batch(mesh, patches, offsets, valid)
+        acc = par.make_sharded_accumulator(mesh, supertile, patch)
+
+        def step_fetch():
+            nonlocal acc
+            acc = sstep(variables, acc, *sharded)
+            return float(jax.device_get(
+                jnp.sum(par.reduce_accumulator(mesh, acc)[0, 0])))
+    else:
+        step = build_step(bundles, tta, patch, with_checksum=True)
+        acc = make_accumulator(supertile, patch)
+
+        def step_fetch():
+            nonlocal acc
+            acc, checksum = step(variables, acc, patches, offsets, valid)
+            # fetch the scalar: forces real completion (block_until_ready
+            # is a no-op on some remote backends)
+            return float(jax.device_get(checksum))
 
     t0 = time.time()
-    acc, checksum = step(variables, acc, patches, offsets, valid)
-    # fetch the scalar: forces real completion (block_until_ready is a no-op
-    # on some remote backends)
-    _ = float(jax.device_get(checksum))
+    _ = step_fetch()
     print(f"# compile+first step {time.time() - t0:.1f}s", file=sys.stderr)
 
     iters = 3 if quick else 10
     t0 = time.time()
-    for _ in range(iters):
-        acc, checksum = step(variables, acc, patches, offsets, valid)
-    _ = float(jax.device_get(checksum))  # programs run in order: last done => all done
+    for i in range(iters):
+        if dp > 1 and i < iters - 1:
+            acc = sstep(variables, acc, *sharded)  # fetch only at the end:
+        else:                                      # programs run in order
+            _ = step_fetch()
     dt = (time.time() - t0) / iters
-    pps = batch / dt
+    pps = batch / dt  # per-chip: batch is the per-chip shard size
 
-    print(json.dumps({
+    line = {
         "metric": "ensemble5tta_patches_per_sec_per_chip" if not quick
         else "quick_patches_per_sec_per_chip",
         "value": round(pps, 2),
         "unit": "256px patches/s/chip (3 models x 5 TTA, bf16, stitched)"
         if not quick else "256px patches/s/chip (1 model, no TTA)",
         "vs_baseline": round(pps / TARGET_PPS_PER_CHIP, 3),
-    }))
+    }
+    if dp > 1:
+        line["dp"] = dp
+        line["aggregate_pps"] = round(pps * dp, 2)
+    print(json.dumps(line))
 
 
 def bench_tile(names, tta, patch):
@@ -161,9 +207,20 @@ def bench_tile(names, tta, patch):
     s2d = os.environ.get("DPAI_BENCH_S2D") == "1"
     # 1 = dynamic per-call scales (round-2: neutral on v5e — the abs-max
     # pass cancels the MXU gain); 2 = static calibrated scales (the
-    # quantize becomes a fusable elementwise epilogue; VERDICT r3 item 1a)
-    quant = int(os.environ.get("DPAI_BENCH_QUANT", "0") or 0)
-    qmode = {0: False, 1: True, 2: "static"}[quant]
+    # quantize becomes a fusable elementwise epilogue; VERDICT r3 item 1a).
+    # Per-model spec "deeplabv3:static" quantizes only the named models —
+    # static int8 wins on deeplab (+5.5%) but loses on dense (-2.5%), so
+    # the best ensemble config is mixed (VERDICT r4 item 3).
+    quant = os.environ.get("DPAI_BENCH_QUANT", "0") or "0"
+    if ":" in quant:
+        from digipathai_tpu.engine.segmentation import _parse_quant_spec
+
+        qmode = _parse_quant_spec(quant)
+    else:
+        qmode = {0: False, 1: True, 2: "static"}[int(quant)]
+
+    def qfor(n):
+        return qmode.get(n, False) if isinstance(qmode, dict) else qmode
     wpack = os.environ.get("DPAI_BENCH_WPACK") == "1"
     fused = os.environ.get("DPAI_BENCH_FUSED") == "1"
     # whole-stage Pallas fusion of the last N U-Net decoder stages
@@ -187,7 +244,7 @@ def bench_tile(names, tta, patch):
     s2dstem = int(os.environ.get("DPAI_BENCH_S2DSTEM", 1))
 
     def model_kw(n):
-        kw = {"quantized": qmode} if qmode else {}
+        kw = {"quantized": qfor(n)} if qfor(n) else {}
         if n == "deeplabv3" and local_aspp:
             kw["aspp_pool_window"] = patch
         if n in ("dense", "inception"):
@@ -229,7 +286,7 @@ def bench_tile(names, tta, patch):
         tile_u8 = pack_host(tile_u8, s2dstem)
     tile_u8 = jnp.asarray(tile_u8)
 
-    if qmode == "static":
+    if any(qfor(n) == "static" for n in names):
         # calibrate per-layer activation abs-max on the bench tile itself
         # (one jitted forward per model), then bake the scales as constants
         from digipathai_tpu.models.quant import calibrate
@@ -239,6 +296,9 @@ def bench_tile(names, tta, patch):
         xcal = normalize_patches(tile_u8[None], dtype=jnp.bfloat16)
         new_vars = []
         for n, v in zip(names, variables):
+            if qfor(n) != "static":
+                new_vars.append(v)
+                continue
             cb = build_model(n, dtype=jnp.bfloat16,
                              **{**model_kw(n), "quantized": "calib"})
             calib = calibrate(cb.module, v, [xcal], train=False,
@@ -247,25 +307,49 @@ def bench_tile(names, tta, patch):
         variables = tuple(new_vars)
         print(f"# int8 calibration {time.time() - t0:.1f}s", file=sys.stderr)
 
+    dp = max(1, int(os.environ.get("DPAI_BENCH_DP", "1")))
+    devs = jax.local_devices()
+    if dp > len(devs):
+        print(f"# DPAI_BENCH_DP={dp} > {len(devs)} local devices — clamping",
+              file=sys.stderr)
+        dp = len(devs)
+    if dp > 1:
+        # the engine's round-robin supertile scheme (tile_infer.py device
+        # round-robin): each chip owns a WHOLE supertile — zero cross-chip
+        # traffic in the hot loop, so scaling is the per-chip rate x N
+        # minus dispatch skew.  Replicate weights+input per device; async
+        # dispatch keeps all chips busy, one fetch at the end drains all.
+        tiles_d = [jax.device_put(tile_u8, dv) for dv in devs[:dp]]
+        vars_d = [jax.device_put(variables, dv) for dv in devs[:dp]]
+    else:
+        tiles_d, vars_d = [tile_u8], [variables]
+
     def run():
-        sums, sqs = [], []
-        for step, v in zip(steps, variables):
-            s, q = step(v, tile_u8)
-            sums.append(s)
-            sqs.append(q)
-        return combine(sums, sqs)
+        outs = []
+        for t_in, vs in zip(tiles_d, vars_d):
+            sums, sqs = [], []
+            for step, v in zip(steps, vs):
+                s, q = step(v, t_in)
+                sums.append(s)
+                sqs.append(q)
+            outs.append(combine(sums, sqs))
+        return outs
 
     t0 = time.time()
-    mean, var = run()
-    _ = float(jax.device_get(jnp.mean(mean)))
+    outs = run()
+    for mean, _var in outs:
+        _ = float(jax.device_get(jnp.mean(mean)))
     print(f"# tile compile+first {time.time() - t0:.1f}s", file=sys.stderr)
 
     iters = int(os.environ.get("DPAI_BENCH_ITERS", 10))
     t0 = time.time()
     for _ in range(iters):
-        mean, var = run()
-    _ = float(jax.device_get(jnp.mean(mean)))
+        outs = run()
+    for mean, _var in outs:  # per-device programs run in order: last done
+        _ = float(jax.device_get(jnp.mean(mean)))  # per device => all done
     dt = (time.time() - t0) / iters
+    # per iter the dp chips each finish one supertile => per-chip rate is
+    # the dp=1 formula; aggregate = per-chip x dp
     equiv_pps = (tile * tile) / (stride * stride) / dt
 
     line = {
@@ -275,6 +359,9 @@ def bench_tile(names, tta, patch):
                 "fully-convolutional supertiles)",
         "vs_baseline": round(equiv_pps / TARGET_PPS_PER_CHIP, 3),
     }
+    if dp > 1:
+        line["dp"] = dp
+        line["aggregate_pps"] = round(equiv_pps * dp, 2)
     if os.environ.get("DPAI_BENCH_BOTH", "1") != "0":
         # tracked regression line for the engine-default patch path (the
         # tile-default flip criterion is pinned in PARITY.md): rot here

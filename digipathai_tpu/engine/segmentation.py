@@ -106,6 +106,60 @@ def resolve_s2d_level(s2d_input, inference_mode: str, supertile: int,
     return lvl if lvl > 0 and side % (1 << lvl) == 0 else 0
 
 
+def _parse_quant_spec(spec):
+    """Parse a per-model quantization spec string into a dict.
+
+    ``"deeplabv3:static"`` -> ``{"deeplabv3": "static"}``;
+    ``"deeplabv3:static,dense:dynamic"`` maps each named model to a mode
+    (``static`` / ``calib`` / ``dynamic``/``true`` -> True / ``off`` ->
+    False).  Strings without a colon are uniform modes and returned as-is
+    (``"static"`` applies to every model, matching the bool/str knob).
+    """
+    if ":" not in spec:
+        return spec
+    out = {}
+    for part in spec.split(","):
+        name, _, mode = part.partition(":")
+        name = registry.resolve_model_name(name.strip())
+        mode = mode.strip().lower()
+        if mode in ("static", "calib"):
+            out[name] = mode
+        elif mode in ("1", "true", "dynamic"):
+            out[name] = True
+        elif mode in ("0", "false", "off", ""):
+            out[name] = False
+        else:
+            raise ValueError(f"unknown quantization mode {mode!r} for "
+                             f"{name!r} (expected static/calib/dynamic/off)")
+    return out
+
+
+def _resolve_quant(quantized, key: str):
+    """Per-model quantization mode for canonical model ``key``.
+
+    ``quantized`` is False/True/"calib"/"static" (uniform — the round-4
+    behavior), a spec string (see ``_parse_quant_spec``), or a dict mapping
+    canonical model keys to modes.  Per-model matters because static int8
+    helps DeepLab but hurts the U-Nets (BASELINE.md round 4): the winning
+    ensemble config quantizes only deeplabv3.
+    """
+    if isinstance(quantized, str):
+        quantized = _parse_quant_spec(quantized)
+    if isinstance(quantized, dict):
+        return quantized.get(key, False)
+    return quantized
+
+
+def _quant_tag(quantized):
+    """Deterministic resume-key tag for the quantized knob (dict order and
+    spec-string spelling must not change the cfg_key)."""
+    if isinstance(quantized, str):
+        quantized = _parse_quant_spec(quantized)
+    if isinstance(quantized, dict):
+        return tuple(sorted((k, v) for k, v in quantized.items() if v))
+    return quantized
+
+
 def getSegmentation(img_path,
                     patch_size: int = 256,
                     stride_size: int = 128,
@@ -196,12 +250,17 @@ def getSegmentation(img_path,
             # whole-stage Pallas fusion of the last N decoder stages
             # (ops/pallas/stage_fused.py; tile mode, inference only)
             kw["fused_stages"] = fused_stages
-        if quantized:
+        q = _resolve_quant(quantized, key)
+        if q:
             # opt-in int8 inference for the wide convs (models/quant.py);
             # pass the mode through verbatim: True (dynamic), "calib",
             # or "static" select different conv ctors (quant.conv_ctor);
-            # measured probability-map deviation recorded in PARITY.md
-            kw["quantized"] = quantized
+            # measured probability-map deviation recorded in PARITY.md.
+            # `quantized` may also be a per-model dict ({"deeplabv3":
+            # "static"}) — static int8 wins on deeplab (+5.5%) but loses on
+            # dense (-2.5%), so quantizing only deeplab inside the ensemble
+            # beats the uniform setting (BASELINE.md round 5)
+            kw["quantized"] = q
         if (decoder_halo_crop and inference_mode == "tile"
                 and key in ("dense", "inception")):
             # progressive decoder halo cropping (exact; models' halo_crop):
@@ -251,7 +310,9 @@ def getSegmentation(img_path,
     X, Y = plan.slide_dims
     mdir = _memmap_dir()
 
-    if quantized == "static":
+    static_idx = [i for i, b in enumerate(bundles)
+                  if model_kws[b.name].get("quantized") == "static"]
+    if static_idx:
         # auto-calibrate the per-layer activation scales QuantConvStatic
         # needs (models/quant.py:123-131) on real tissue patches from the
         # first planned supertile.  The scales are per-layer scalars and
@@ -274,7 +335,8 @@ def getSegmentation(img_path,
                                          (patch_size, patch_size)))[..., :3]
             .transpose(1, 0, 2)
             for x, y in sel]).astype(np.uint8)
-        for i, (name, b) in enumerate(zip(model_names, bundles)):
+        for i in static_idx:
+            name, b = model_names[i], bundles[i]
             ckw = {k: v for k, v in model_kws[b.name].items()
                    if k != "halo_crop"}
             ckw["quantized"] = "calib"
@@ -307,7 +369,8 @@ def getSegmentation(img_path,
     cfg_key = hashlib.sha256(repr((
         abs_path, X, Y, patch_size, stride_size, global_batch, supertile,
         tuple(model_names), tuple(tta_full), faithful_tta,
-        inference_mode, mask_predictions, bool(crf), quantized)).encode()
+        inference_mode, mask_predictions, bool(crf),
+        _quant_tag(quantized))).encode()
     ).hexdigest()
     state_path = mdir / f"{stem}-stitch.json"
     completed: set = set()

@@ -232,16 +232,61 @@ def create_app(config: Optional[ServerConfig] = None,
     def check_segment_status(req):
         return Response.json(status.snapshot())
 
+    _BOOLS = {"1": True, "true": True, "yes": True,
+              "0": False, "false": False, "no": False}
+
+    def _request_overrides(req) -> dict:
+        """Optional per-request engine knobs on ``POST /segment`` (exceeds
+        the reference's hardcoded call, ``main_server.py:165-169``): one
+        server serves both quick-look and full-quality requests.  Strictly
+        validated — a bad value 400s before any worker thread starts, so a
+        typo can't silently burn a 10-minute ensemble run."""
+        kw = {}
+        for knob in ("quick", "crf"):
+            v = req.form.get(knob)
+            if v is not None:
+                if v.lower() not in _BOOLS:
+                    abort(400, f"{knob} must be a boolean "
+                               f"(one of {sorted(_BOOLS)}), got {v!r}")
+                kw[knob] = _BOOLS[v.lower()]
+        v = req.form.get("inference_mode")
+        if v is not None:
+            if v not in ("patch", "tile"):
+                abort(400, f"inference_mode must be 'patch' or 'tile', "
+                           f"got {v!r}")
+            kw["inference_mode"] = v
+        v = req.form.get("model")
+        if v is not None:
+            from ..models.registry import resolve_model_name
+            try:
+                resolve_model_name(v)
+            except ValueError as e:
+                abort(400, str(e))
+            kw["model"] = v
+        v = req.form.get("tta")
+        if v is not None:
+            names = (list(FULL_TTA) if v == "all"
+                     else [t.strip() for t in v.split(",") if t.strip()])
+            from ..ops.tta import resolve_tta_list
+            try:
+                resolve_tta_list(names)
+            except (ValueError, KeyError) as e:
+                abort(400, f"bad tta list {v!r}: {e}")
+            kw["tta_list"] = names
+        return kw
+
     @app.route(r"/segment", methods=("POST",))
     def segment(req):
         status["tissuetype"] = req.form.get("tissuetype", "Colon")
+        overrides = _request_overrides(req)  # validate BEFORE mutating state
         if cfg.viewer_only:
             status["status"] = True  # reference: status <- VIEWER_ONLY flag
         else:
             fn = segmentation_fn or _default_segmentation_fn()
             t = threading.Thread(
                 target=_run_segmentation,
-                args=(status, fn, cfg.engine_kwargs()), daemon=True)
+                args=(status, fn, {**cfg.engine_kwargs(), **overrides}),
+                daemon=True)
             t.start()
         return Response.json(status.snapshot())
 

@@ -210,3 +210,70 @@ def test_engine_static_quant_autocalibrates(tmp_path, monkeypatch):
     # (non-zero) activation maxima, not initializer zeros
     assert len(calls) == 1
     assert all(float(a) > 0 for a in calls[0])
+
+
+def test_per_model_quant_spec_resolution():
+    """`quantized` accepts per-model dicts and spec strings (VERDICT r4
+    item 3): static int8 wins on deeplab but loses on dense, so the engine
+    must be able to quantize only part of the ensemble."""
+    import pytest
+
+    from digipathai_tpu.engine.segmentation import (_parse_quant_spec,
+                                                    _quant_tag, _resolve_quant)
+
+    assert _parse_quant_spec("deeplabv3:static") == {"deeplabv3": "static"}
+    assert _parse_quant_spec("deeplabv3:static,dense:dynamic") == {
+        "deeplabv3": "static", "dense": True}
+    assert _parse_quant_spec("inception:off") == {"inception": False}
+    assert _parse_quant_spec("static") == "static"  # uniform passthrough
+    # name-substring dispatch matches build_model's registry resolution
+    assert _parse_quant_spec("my_deeplabv3_v2:calib") == {"deeplabv3": "calib"}
+    with pytest.raises(ValueError):
+        _parse_quant_spec("dense:int4")
+
+    assert _resolve_quant("deeplabv3:static", "deeplabv3") == "static"
+    assert _resolve_quant("deeplabv3:static", "dense") is False
+    assert _resolve_quant({"dense": True}, "dense") is True
+    assert _resolve_quant("static", "inception") == "static"
+    assert _resolve_quant(False, "dense") is False
+
+    # resume cfg_key tag: dict order / string spelling must not matter
+    assert _quant_tag({"dense": True, "deeplabv3": "static"}) == \
+        _quant_tag("deeplabv3:static,dense:dynamic")
+    assert _quant_tag("inception:off") == _quant_tag({})
+
+
+def test_engine_per_model_quant_gates_calibration(tmp_path, monkeypatch):
+    """With a per-model spec, only the named models are calibrated: a spec
+    naming a model NOT in the run must leave the whole run unquantized."""
+    from digipathai_tpu import getSegmentation
+    from digipathai_tpu.models import quant as quant_mod
+    from tests.fixtures import make_synthetic_slide
+
+    monkeypatch.setenv("DPAI_OFFLINE", "1")
+    monkeypatch.setenv("DPAI_CACHE", str(tmp_path / "cache"))
+    calls = []
+    real_calibrate = quant_mod.calibrate
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real_calibrate(*a, **kw)
+
+    monkeypatch.setattr(quant_mod, "calibrate", spy)
+    p = str(tmp_path / "pmq-slide.tiff")
+    make_synthetic_slide(p, 512, 512, seed=6)
+
+    def run(label, quantized):
+        getSegmentation(
+            img_path=p, patch_size=128, stride_size=128, batch_size=4,
+            quick=True, model="dense", mode="colon",
+            probs_path=str(tmp_path / f"{label}-p.tiff"),
+            mask_path=str(tmp_path / f"{label}-m.tiff"),
+            uncertainty_path=str(tmp_path / f"{label}-u.tiff"),
+            supertile=256, quantized=quantized,
+            data_parallel=False, compute_dtype=jnp.float32, status={})
+
+    run("other", "deeplabv3:static")  # dense-only run: nothing to quantize
+    assert calls == []
+    run("this", "dense:static")       # named model present: calibrated once
+    assert calls == [1]

@@ -43,13 +43,17 @@ class _Server:
             assert e.code == expect, f"{path}: {e.code} != {expect}"
             return e.code, e.read(), e.headers
 
-    def post(self, path, data: dict):
+    def post(self, path, data: dict, expect=200):
         body = "&".join(f"{k}={v}" for k, v in data.items()).encode()
         req = urllib.request.Request(
             f"http://127.0.0.1:{self.port}{path}", data=body,
             headers={"Content-Type": "application/x-www-form-urlencoded"})
-        with urllib.request.urlopen(req, timeout=30) as r:
-            return r.status, r.read()
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            assert e.code == expect, f"{path}: {e.code} != {expect}"
+            return e.code, e.read()
 
     def stop(self):
         self.httpd.shutdown()
@@ -239,6 +243,57 @@ class TestSegmentEndpoint:
                 "crf": True, "resume": True, "data_parallel": 2,
                 "supertile": 1024,
             }
+        finally:
+            s.stop()
+
+    def test_per_request_knobs_override_config(self, slide_dir):
+        """Optional form fields on POST /segment (VERDICT r4 item 6):
+        per-request quick/tta/crf/inference_mode/model override the
+        deployment config, so one server serves both quick-look and
+        full-quality requests.  Bad values 400 BEFORE any worker thread
+        starts — a typo must not silently burn an ensemble run."""
+        calls = {}
+
+        def fake_seg(img_path, mask_path, probs_path, uncertainty_path,
+                     status, mode, **kw):
+            calls.update(kw)
+            status["progress"] = 100
+
+        cfg = ServerConfig(slide_dir=slide_dir, viewer_only=False,
+                           inference_mode="tile", quick=False, crf=True)
+        s = _Server(cfg, segmentation_fn=fake_seg)
+        try:
+            s.get("/liver-slide-1.tiff")
+            s.post("/segment", {"tissuetype": "Colon", "quick": "true",
+                                "crf": "0", "inference_mode": "patch",
+                                "model": "deeplabv3",
+                                "tta": "hflip,ROTATE_90"})
+            deadline = time.time() + 10
+            st = {}
+            while time.time() < deadline:
+                _, body, _ = s.get("/check_segment_status")
+                st = json.loads(body)
+                if st.get("status") in ("Done", "Error"):
+                    break
+                time.sleep(0.1)
+            assert st["status"] == "Done"
+            # request fields overrode every configured knob (aliases like
+            # hflip are validated here, normalized by the engine)
+            assert calls == {"inference_mode": "patch", "quick": True,
+                             "crf": False, "model": "deeplabv3",
+                             "tta_list": ["hflip", "ROTATE_90"]}
+
+            # strict validation: each bad field 400s and starts nothing
+            calls.clear()
+            for bad in ({"quick": "maybe"}, {"crf": "2"},
+                        {"inference_mode": "fast"}, {"model": "resnet99"},
+                        {"tta": "FLIP_DIAGONAL"}):
+                code, body = s.post("/segment",
+                                    {"tissuetype": "Colon", **bad},
+                                    expect=400)
+                assert code == 400, bad
+            time.sleep(0.3)
+            assert calls == {}  # no thread ever ran
         finally:
             s.stop()
 
