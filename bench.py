@@ -416,7 +416,8 @@ def bench_e2e(names, tta):
     DPAI_BENCH_E2E_TILE=1 runs the engine's tile fast path instead of the
     reference-parity patch default; DPAI_BENCH_E2E_CRF=1 enables CRF (in
     tile mode it runs per-supertile, overlapped — VERDICT r3 item 2);
-    DPAI_BENCH_E2E_BBOX=0 disables tissue-bbox compute cropping;
+    DPAI_BENCH_E2E_BBOX=1 enables tissue-bbox compute cropping (engine
+    default OFF since r5 — measured e2e loss, BASELINE.md round 5);
     DPAI_BENCH_E2E_SPARSE=1 uses a CAMELYON-like sparse slide (tissue in
     ~1/6 of the area) instead of the dense fixture — the workload where
     bbox cropping pays.  Per-stage wall shares from status['timings'] go
@@ -434,7 +435,7 @@ def bench_e2e(names, tta):
     quick = names == ["dense"]
     tile_mode = os.environ.get("DPAI_BENCH_E2E_TILE") == "1"
     use_crf = os.environ.get("DPAI_BENCH_E2E_CRF") == "1"
-    bbox = os.environ.get("DPAI_BENCH_E2E_BBOX", "1") == "1"
+    bbox = os.environ.get("DPAI_BENCH_E2E_BBOX", "0") == "1"
     sparse = os.environ.get("DPAI_BENCH_E2E_SPARSE") == "1"
 
     def run(path, label):
@@ -480,7 +481,7 @@ def bench_e2e(names, tta):
     secs = run(big, "big")
     pps = n_patches / secs
     variant = ("_tile" if tile_mode else "") + ("_crf" if use_crf else "") \
-        + ("_sparse" if sparse else "") + ("" if bbox else "_nobbox")
+        + ("_sparse" if sparse else "") + ("_bbox" if bbox else "")
     print(json.dumps({
         "metric": "e2e_patches_per_sec_per_chip" + variant,
         "value": round(pps, 2),

@@ -181,7 +181,7 @@ def getSegmentation(img_path,
                     resume: bool = False,
                     inference_mode: str = "patch",
                     tile_local_aspp: bool = True,
-                    tile_bbox_compute: bool = True,
+                    tile_bbox_compute: bool = False,
                     spatial_shard="auto",
                     decoder_halo_crop: bool = False,
                     s2d_input: bool | int | str = "auto",

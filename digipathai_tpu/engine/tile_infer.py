@@ -219,7 +219,7 @@ def run_tile_inference(slide, plan, bundles, variables_tuple, tta_full,
                        compute_dtype=jnp.bfloat16, completed=None,
                        on_group_done=None, n_devices: int = 1,
                        faithful_tta: bool = False, spatial_shard="auto",
-                       crf_cb=None, bbox_compute: bool = True,
+                       crf_cb=None, bbox_compute: bool = False,
                        state_lock=None):
     """Segment every tissue supertile fully convolutionally.
 

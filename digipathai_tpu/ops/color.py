@@ -29,3 +29,23 @@ def normalize_patches(patches_u8: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarra
     to the device (4x less host->HBM traffic) and normalize there.
     """
     return (patches_u8.astype(dtype) - jnp.asarray(128.0, dtype)) / jnp.asarray(128.0, dtype)
+
+
+def normalize_minmax(data):
+    """Min-max contrast normalization to [0, 1]; all-zeros when constant.
+
+    Parity target: ``normalize_minmax`` (``reference DigiPathAI/helpers/
+    utils.py:166-176``, used by the alternate engine's input visualisation,
+    ``loaders/inference_data_loader.py:227``).  The reference calls the
+    long-removed ``np.float`` alias and crashes on numpy >= 1.24; the
+    evident intent is implemented (PARITY.md deviations).
+    """
+    import numpy as np
+
+    data = np.asarray(data)
+    lo = float(data.min())
+    hi = float(data.max())
+    if hi - lo == 0:
+        return np.zeros_like(data, dtype=np.float64 if data.dtype.kind != "f"
+                             else data.dtype)
+    return (data - lo) / (hi - lo)

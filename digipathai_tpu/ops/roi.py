@@ -72,3 +72,20 @@ def find_largest_bbox(mask: np.ndarray, stride_factor: int = 0) -> np.ndarray:
 def labelthreshold(image: np.ndarray, threshold: float = 0.5) -> np.ndarray:
     """Binary 0/1 label map at ``threshold`` (reference ``labelthreshold``)."""
     return (np.asarray(image) >= threshold).astype(np.uint8)
+
+
+def get_index(coord_ax: int, probs_map_shape_ax: int, grid_ax: int):
+    """Clamped half-extents of a ``grid_ax``-wide window centred at
+    ``coord_ax`` inside a ``probs_map_shape_ax``-long axis.
+
+    Parity target: ``get_index`` (``reference DigiPathAI/helpers/utils.py:
+    524-543``, dead code there) — returns ``(_min, _max)`` such that
+    ``coord_ax - _min >= 0`` and ``coord_ax + _max <= probs_map_shape_ax``,
+    shrinking each side independently from ``grid_ax // 2``.  The same
+    clamping is what the planner applies to edge supertiles
+    (``engine/planner.py``); exposed by name for inventory parity.
+    """
+    half = grid_ax // 2
+    lo = half - max(0, half - coord_ax)
+    hi = half - max(0, coord_ax + half - probs_map_shape_ax)
+    return lo, hi

@@ -130,3 +130,24 @@ def finalize_maps(mean_sum, var_sum, count):
     """
     c = jnp.maximum(count, 1.0)
     return mean_sum / c, var_sum / (c * c)
+
+
+def get_mean_img(probs, count_map):
+    """Per-pixel ensemble mean and variance of count-normalized maps.
+
+    Parity target: ``get_mean_img`` (``reference DigiPathAI/helpers/
+    utils.py:456-471``, dead code there) — stacks the per-model overlap-add
+    maps, divides by the shared ``count_map``, and returns (mean, var)
+    across the stack.  The reference body assigns the division result and
+    then immediately overwrites it with a freshly zero-initialized memmap,
+    so as written it returns all-zeros; the evident intent is implemented
+    (PARITY.md deviations).  The live engine computes the same mean/var
+    fused on device (``finalize_maps`` above); exposed by name for
+    inventory parity.
+    """
+    import numpy as np
+
+    probs = np.array(list(probs), dtype=np.float32)
+    counts = np.maximum(np.asarray(count_map, np.float32), 1.0)[None, ...]
+    probs = probs / counts
+    return np.mean(probs, axis=0), np.var(probs, axis=0)

@@ -73,3 +73,55 @@ class TestMaskPredictions:
         assert probs.max() > 100  # lesion kept
         h, w = probs.shape
         assert probs[0:h // 8, 0:w // 8].max() <= 5  # glass corner zeroed
+
+
+class TestNamedReferenceHelpers:
+    """The three trivial reference helpers VERDICT r4 flagged as having no
+    named counterpart (inventory parity; all dead code in the reference
+    except normalize_minmax): get_index, normalize_minmax, get_mean_img."""
+
+    def test_get_index_matches_reference_loop_semantics(self):
+        import itertools
+
+        from digipathai_tpu.ops.roi import get_index
+
+        def ref(c, n, g):  # the reference's while-loops, utils.py:524-543
+            lo = hi = g // 2
+            a = c - lo
+            while a < 0:
+                lo -= 1
+                a += 1
+            b = c + hi
+            while b > n:
+                hi -= 1
+                b -= 1
+            return lo, hi
+
+        for c, n, g in itertools.product(range(0, 30, 3), [16, 20, 29],
+                                         [4, 7, 12]):
+            assert get_index(c, n, g) == ref(c, n, g)
+
+    def test_normalize_minmax(self):
+        import numpy as np
+
+        from digipathai_tpu.ops.color import normalize_minmax
+
+        x = np.array([[2.0, 4.0], [6.0, 10.0]])
+        out = normalize_minmax(x)
+        assert out.min() == 0.0 and out.max() == 1.0
+        assert np.allclose(out, (x - 2) / 8)
+        # constant input -> zeros (reference utils.py:172-175), no NaN
+        assert (normalize_minmax(np.full((3, 3), 7)) == 0).all()
+
+    def test_get_mean_img(self):
+        import numpy as np
+
+        from digipathai_tpu.ops.stitch import get_mean_img
+
+        maps = [np.ones((2, 2)), 3 * np.ones((2, 2))]
+        mean, var = get_mean_img(maps, 2 * np.ones((2, 2)))
+        # count-normalized: 0.5 and 1.5 -> mean 1.0, var 0.25
+        assert np.allclose(mean, 1.0) and np.allclose(var, 0.25)
+        # zero counts clamp instead of dividing by zero
+        mean0, var0 = get_mean_img(maps, np.zeros((2, 2)))
+        assert np.isfinite(mean0).all() and np.isfinite(var0).all()
