@@ -188,7 +188,8 @@ def getSegmentation(img_path,
                     s2d_decoder: bool = False,
                     wpack: bool = False,
                     fused_stages: int = 0,
-                    quantized=False,  # bool | "calib" | "static"
+                    quantized=False,  # bool | "calib" | "static" |
+                    # per-model spec "deeplabv3:static[,dense:off]" | dict
                     mask_predictions: bool = False,
                     fold_bn: bool = False,
                     faithful_tta: bool = False,
