@@ -102,6 +102,21 @@ def main():
         check("GET slide tile", st == 200 and tile[:2] == b"\xff\xd8",
               f"{len(tile)}B")
 
+        # per-request knob validation (r5): bad values 400 without starting
+        # a run; a valid override is accepted
+        for bad in (b"tissuetype=Colon&quick=maybe",
+                    b"tissuetype=Colon&tta=FLIP_DIAGONAL"):
+            breq = urllib.request.Request(
+                base + "/segment", data=bad,
+                headers={"Content-Type":
+                         "application/x-www-form-urlencoded"})
+            try:
+                with urllib.request.urlopen(breq, timeout=60):
+                    check(f"POST /segment rejects {bad.decode()}", False)
+            except urllib.error.HTTPError as e:
+                check(f"POST /segment rejects bad knob", e.code == 400,
+                      bad.decode().split("&", 1)[1])
+
         req = urllib.request.Request(
             base + "/segment", data=b"tissuetype=Colon",
             headers={"Content-Type": "application/x-www-form-urlencoded"})
