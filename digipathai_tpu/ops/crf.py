@@ -281,9 +281,15 @@ def do_crf(im, mask, n_labels: int, enable_color: bool = False,
     uncertain: a uniform unary.  Dead code in the reference (never called);
     implemented here for inventory parity.
 
-    The bilateral term uses the engine's truncated-window approximation at
-    ``bil_downsample=8`` (window covers +-80 px = one sigma_xy), not the
-    reference's permutohedral lattice — same tradeoff as ``mean_field_crf``.
+    The bilateral term uses the engine's truncated-window approximation
+    (not the reference's permutohedral lattice) at ``bil_downsample=4``,
+    ``bil_radius=20`` — the window covers +-80 px = one sigma_xy.  ds was
+    widened from the engine-default 8 after measuring label-level agreement
+    against the exact dense mean field (tools/do_crf_bound_probe.py,
+    pinned in tests/test_crf_bound.py): at ds=8 the 8-px cell color means
+    smear across label boundaries (srgb=13 then collapses their weights),
+    flipping ~3% of pixels; ds=4 halves that, ds=2 quarters it.  Numbers in
+    PARITY.md "Numerical deviations".
 
     With ``zero_unsure`` pydensecrf's class ``c`` corresponds to label
     ``c + 1`` (label 0 is "unsure"), but the reference maps the argmax class
@@ -311,7 +317,7 @@ def do_crf(im, mask, n_labels: int, enable_color: bool = False,
         jnp.asarray(im, jnp.uint8), unary, n_labels=n_labels,
         n_iters=n_iters, enable_color=bool(enable_color),
         pos_sigma=3.0, compat_gaussian=3.0, bil_sigma_xy=80.0,
-        bil_sigma_rgb=13.0, bil_downsample=8, bil_radius=10,
+        bil_sigma_rgb=13.0, bil_downsample=4, bil_radius=20,
         compat_bilateral=10.0)
     map_idx = np.asarray(jnp.argmax(q, axis=-1))
     if zero_unsure and not faithful_shift:
