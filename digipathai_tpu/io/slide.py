@@ -379,3 +379,23 @@ class Slide:
                 return "generic-tiff"
         except (OSError, ValueError, struct.error):
             return None
+
+
+def read_whole_slide_image(image_path):
+    """Load an ordinary (non-pyramidal) image file whole, as a PIL image.
+
+    Parity target: ``ReadWholeSlideImage`` (``reference DigiPathAI/helpers/
+    utils.py:308-310``) — a thin ``PIL.Image.open`` used by the legacy
+    in-RAM dataset (``loaders/dataloader.py:34-188``).  Slide formats PIL
+    cannot parse fall back to the coarsest level of the first-party
+    ``Slide`` reader (returned as a PIL image for interface parity).
+    """
+    from PIL import Image
+
+    try:
+        return Image.open(image_path)
+    except Exception:
+        s = Slide(image_path)
+        lvl = s.level_count - 1
+        return Image.fromarray(
+            np.asarray(s.read_region((0, 0), lvl, s.level_dimensions[lvl])))

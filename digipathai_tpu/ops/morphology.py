@@ -73,6 +73,19 @@ def morpho_process_mask(mask: jnp.ndarray, level: int) -> jnp.ndarray:
     return dilate(m, k)
 
 
+def bin_morpho_process_mask(mask: jnp.ndarray, close_k: int = 50,
+                            open_k: int = 35) -> jnp.ndarray:
+    """Level-independent close -> open tissue-mask cleanup.
+
+    Parity target: ``BinMorphoProcessMask`` (``reference DigiPathAI/
+    helpers/utils.py:474-483``).  The reference defines it twice — close 20
+    / open 5 at ``:189-197``, shadowed at import time by the close 50 /
+    open 35 redefinition — so the later kernels are the defaults here and
+    both are reachable via the kwargs.
+    """
+    return open_(close(mask, close_k), open_k)
+
+
 @partial(jax.jit, static_argnames=("level",))
 def plan_mask(img_xyc_u8: jnp.ndarray, level: int) -> jnp.ndarray:
     """Tissue mask + morphology as ONE XLA program.

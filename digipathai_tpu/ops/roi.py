@@ -74,6 +74,24 @@ def labelthreshold(image: np.ndarray, threshold: float = 0.5) -> np.ndarray:
     return (np.asarray(image) >= threshold).astype(np.uint8)
 
 
+def get_image_patch(image, coords, size: int):
+    """``size``-square crop of ``image`` centred at ``coords`` (x, y).
+
+    Parity target: ``getImagePatch`` (``reference DigiPathAI/helpers/
+    utils.py:312-318``, legacy in-RAM dataset path).  The reference slices
+    ``image[x-size//2 : x+size//2]`` unclamped, so a centre within
+    ``size//2`` of the left/top edge hits a negative start and silently
+    returns a wrong (wrapped or empty) crop; here the window is clamped
+    into bounds with ``get_index``'s shrinking semantics, matching what
+    the live dataset does at edges (``loaders/dataloader.py:340-390``).
+    """
+    image = np.asarray(image)
+    x, y = coords
+    lo_x, hi_x = get_index(x, image.shape[0], size)
+    lo_y, hi_y = get_index(y, image.shape[1], size)
+    return image[x - lo_x:x + hi_x, y - lo_y:y + hi_y]
+
+
 def get_index(coord_ax: int, probs_map_shape_ax: int, grid_ax: int):
     """Clamped half-extents of a ``grid_ax``-wide window centred at
     ``coord_ax`` inside a ``probs_map_shape_ax``-long axis.

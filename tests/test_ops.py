@@ -79,6 +79,24 @@ class TestMorphology:
         with pytest.raises(ValueError):
             morphology.morpho_process_mask(np.zeros((8, 8), np.uint8), level=7)
 
+    def test_bin_morpho_process_mask_matches_cv2(self, rng):
+        """Level-independent close->open (reference BinMorphoProcessMask;
+        the import-time-shadowed 50/35 kernels are the defaults, the
+        shadowed 20/5 definition is reachable via kwargs)."""
+        mask = (rng.random((128, 160)) > 0.7).astype(np.uint8)
+        for ck, ok in ((50, 35), (20, 5)):
+            got = np.asarray(morphology.bin_morpho_process_mask(
+                mask, close_k=ck, open_k=ok)).astype(np.uint8)
+            want = cv2.morphologyEx(mask, cv2.MORPH_CLOSE,
+                                    np.ones((ck, ck), np.uint8))
+            want = (cv2.morphologyEx(want, cv2.MORPH_OPEN,
+                                     np.ones((ok, ok), np.uint8))
+                    > 0).astype(np.uint8)
+            np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(
+            np.asarray(morphology.bin_morpho_process_mask(mask)),
+            np.asarray(morphology.bin_morpho_process_mask(mask, 50, 35)))
+
 
 class TestTissueMask:
     def test_synthetic_tissue_found(self, synthetic_slide):

@@ -44,6 +44,18 @@ class TestROI:
         x = np.array([0.2, 0.5, 0.9])
         np.testing.assert_array_equal(roi.labelthreshold(x), [0, 1, 1])
 
+    def test_get_image_patch_interior_and_edges(self):
+        img = np.arange(40 * 50 * 3, dtype=np.uint8).reshape(40, 50, 3)
+        got = roi.get_image_patch(img, (20, 25), 10)
+        np.testing.assert_array_equal(got, img[15:25, 20:30])
+        # near the top-left corner the reference's unclamped slice would
+        # return an empty/wrapped crop; ours shrinks into bounds
+        got = roi.get_image_patch(img, (2, 3), 10)
+        np.testing.assert_array_equal(got, img[0:7, 0:8])
+        # 2-D (mask) input takes the no-channel branch
+        got = roi.get_image_patch(img[..., 0], (38, 48), 10)
+        np.testing.assert_array_equal(got, img[33:40, 43:50, 0])
+
 
 class TestMaskPredictions:
     def test_engine_flag(self, tmp_path, monkeypatch):

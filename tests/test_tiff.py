@@ -128,3 +128,28 @@ def test_pil_can_read_our_tiff(tmp_path, rng):
     with Image.open(p) as im:
         got = np.asarray(im)
     np.testing.assert_array_equal(got, img)
+
+
+def test_read_whole_slide_image(tmp_path, rng, monkeypatch):
+    """PIL path for ordinary images; Slide fallback when PIL can't parse
+    (reference ReadWholeSlideImage, helpers/utils.py:308-310)."""
+    from PIL import Image
+
+    from digipathai_tpu.io.slide import read_whole_slide_image
+
+    img = _rand_rgb(rng, 40, 60)
+    p = tmp_path / "plain.png"
+    Image.fromarray(img).save(p)
+    got = read_whole_slide_image(str(p))
+    np.testing.assert_array_equal(np.asarray(got.convert("RGB")), img)
+
+    # force the fallback: a real pyramidal slide + a PIL that refuses it
+    p2 = tmp_path / "pyramid.tiff"
+    tiff_py.write_pyramidal_tiff(p2, _rand_rgb(rng, 300, 500),
+                                 compression="deflate", tile=128)
+    monkeypatch.setattr(Image, "open",
+                        lambda *a, **k: (_ for _ in ()).throw(OSError("no")))
+    got = read_whole_slide_image(str(p2))
+    s = Slide(str(p2))
+    lvl = s.level_count - 1
+    assert got.size == s.level_dimensions[lvl]  # PIL size is (w, h)
