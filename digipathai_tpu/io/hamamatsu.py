@@ -172,7 +172,12 @@ class VmsReader:
         self.path = str(path)
         ini = configparser.ConfigParser(strict=False, interpolation=None)
         with open(path, encoding="utf-8-sig") as f:
-            ini.read_file(f)
+            try:
+                ini.read_file(f)
+            except configparser.Error as e:
+                # reader contract: corrupt metadata surfaces as ValueError,
+                # never configparser.Error (tests/test_corrupt_inputs.py)
+                raise ValueError(f"{path}: corrupt VMS index: {e}") from e
         if ini.has_section(_VMS_SECTION):
             self.uncompressed = False
             sec = ini[_VMS_SECTION]

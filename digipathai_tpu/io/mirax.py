@@ -75,7 +75,13 @@ class MiraxReader:
         ini = configparser.ConfigParser(strict=False, interpolation=None)
         # Mirax writes a UTF-8 BOM and occasionally duplicate keys
         with open(ini_path, encoding="utf-8-sig") as f:
-            ini.read_file(f)
+            try:
+                ini.read_file(f)
+            except configparser.Error as e:
+                # keep the documented reader contract (ValueError/OSError,
+                # io/slide.py:380) on hostile files — configparser.Error
+                # is not in it (tests/test_corrupt_inputs.py)
+                raise ValueError(f"{path}: corrupt Slidedat.ini: {e}") from e
 
         g = "GENERAL"
         self.slide_id = _ini_get(ini, g, "SLIDE_ID")

@@ -65,8 +65,16 @@ class SakuraReader:
         # discover zoom factors + occupied tiles from the id namespace
         self._tiles: Dict[int, set] = {}
         self._colors: Dict[str, int] = {}  # id prefix "x|y|focal" -> colors
-        cur = self._db.execute(f'SELECT id FROM "{self._table}"')
-        for (tid,) in cur:
+        try:
+            rows = self._db.execute(
+                f'SELECT id FROM "{self._table}"').fetchall()
+        except sqlite3.Error as e:
+            # a truncated/garbled db can pass the magic check and still
+            # fail here ("database disk image is malformed"); keep the
+            # reader contract (tests/test_corrupt_inputs.py)
+            raise ValueError(
+                f"{self.path}: corrupt Sakura database: {e}") from e
+        for (tid,) in rows:
             parts = str(tid).split("|")
             if len(parts) != 5:
                 continue  # non-tile blob
@@ -125,11 +133,18 @@ class SakuraReader:
         except sqlite3.Error:
             pass
         # fallback: the only table with (id, data) columns
-        for (name,) in self._db.execute(
-                "SELECT name FROM sqlite_master WHERE type='table'"):
-            cols = {r[1] for r in self._db.execute(f'PRAGMA table_info("{name}")')}
-            if {"id", "data"} <= cols:
-                return name
+        try:
+            for (name,) in self._db.execute(
+                    "SELECT name FROM sqlite_master WHERE type='table'"):
+                cols = {r[1] for r in self._db.execute(
+                    f'PRAGMA table_info("{name}")')}
+                if {"id", "data"} <= cols:
+                    return name
+        except sqlite3.Error as e:
+            # reader contract: corrupt databases surface as ValueError,
+            # never sqlite3.Error (tests/test_corrupt_inputs.py)
+            raise ValueError(
+                f"{self.path}: corrupt Sakura database: {e}") from e
         raise ValueError(f"{self.path}: no Sakura tile table")
 
     def _scan_metadata(self) -> dict:

@@ -102,8 +102,13 @@ _TYPE_INFO = {
 # --- LZW (TIFF flavor) --------------------------------------------------------
 
 
-def lzw_decode(data: bytes) -> bytes:
-    """Decode TIFF-flavor LZW (MSB-first bit packing, early code-size change)."""
+def lzw_decode(data: bytes, max_out: Optional[int] = None) -> bytes:
+    """Decode TIFF-flavor LZW (MSB-first bit packing, early code-size change).
+
+    ``max_out`` bounds the decoded size: LZW expands up to ~2700x, so a
+    corrupt/hostile block must not be allowed to balloon past the size the
+    tile/strip geometry implies (tests/test_corrupt_inputs.py).
+    """
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: List[bytes] = []
@@ -129,6 +134,9 @@ def lzw_decode(data: bytes) -> bytes:
             if code == EOI:
                 return bytes(out)
             if prev is None:
+                if code >= len(table):
+                    raise ValueError(f"corrupt LZW stream: first code {code} "
+                                     "references an empty table")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
@@ -138,6 +146,8 @@ def lzw_decode(data: bytes) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out[:max_out])
             # TIFF uses "early change": bump width one code early.
             if len(table) + 1 >= (1 << bits) and bits < 12:
                 bits += 1
@@ -222,15 +232,27 @@ class TiffReader:
     def __init__(self, path: str, tile_cache_size: int = 64):
         self.path = str(path)
         self._fd = os.open(self.path, os.O_RDONLY)
+        self._fsize = os.fstat(self._fd).st_size
         self._cache_lock = threading.Lock()
         self._tile_cache: "OrderedDict[Tuple[int, int], np.ndarray]" = OrderedDict()
         self._tile_cache_size = tile_cache_size
         self.pages: List[TiffPage] = []
-        self._parse()
+        try:
+            self._parse()
+        except BaseException:
+            self.close()  # don't leak the fd when rejecting a corrupt file
+            raise
 
     # -- low-level --------------------------------------------------------
 
     def _pread(self, offset: int, size: int) -> bytes:
+        # Bound-check against the file size BEFORE allocating: a corrupt
+        # count field can claim terabytes, and os.pread allocates the whole
+        # buffer up front (tests/test_corrupt_inputs.py).
+        if size < 0 or offset < 0 or offset + size > self._fsize:
+            raise IOError(
+                f"{self.path}: read [{offset}, {offset + size}) outside the "
+                f"{self._fsize}-byte file (corrupt offset/count)")
         data = os.pread(self._fd, size, offset)
         if len(data) != size:
             raise IOError(f"short read at {offset} ({len(data)}/{size} bytes)")
@@ -280,8 +302,22 @@ class TiffReader:
         seen = set()
         while ifd_offset and ifd_offset not in seen:
             seen.add(ifd_offset)
-            page, ifd_offset = self._parse_ifd(ifd_offset)
+            try:
+                page, ifd_offset = self._parse_ifd(ifd_offset)
+            except (ValueError, OSError):
+                raise
+            except Exception as e:
+                # Parser boundary for untrusted bytes: whatever a corrupt
+                # IFD trips inside (struct.error, TypeError from a missing
+                # tag, IndexError, ...) surfaces as the documented reader
+                # contract — ValueError/OSError only (io/slide.py:380
+                # catches exactly these; tests/test_corrupt_inputs.py).
+                raise ValueError(
+                    f"{self.path}: corrupt TIFF structure in IFD at "
+                    f"{ifd_offset}: {e!r}") from e
             self.pages.append(page)
+        if not self.pages:
+            raise ValueError(f"{self.path}: TIFF contains no images")
 
     def _parse_ifd(self, offset: int) -> Tuple[TiffPage, int]:
         bo = self._bo
@@ -319,9 +355,13 @@ class TiffReader:
             return v[0] if isinstance(v, (list, tuple)) else v
 
         bits = tags.get(TAG_BITS_PER_SAMPLE, [8])
+        w, h = one(TAG_IMAGE_WIDTH), one(TAG_IMAGE_LENGTH)
+        if not w or not h or int(w) < 0 or int(h) < 0:
+            raise ValueError(f"{self.path}: IFD at {offset} has missing or "
+                             f"invalid image dimensions ({w!r} x {h!r})")
         page = TiffPage(
-            width=int(one(TAG_IMAGE_WIDTH)),
-            height=int(one(TAG_IMAGE_LENGTH)),
+            width=int(w),
+            height=int(h),
             bits=int(bits[0] if isinstance(bits, (list, tuple)) else bits),
             compression=int(one(TAG_COMPRESSION, COMPRESSION_NONE)),
             photometric=int(one(TAG_PHOTOMETRIC, PHOTOMETRIC_MINISBLACK)),
@@ -344,6 +384,24 @@ class TiffReader:
             resolution_unit=int(one(TAG_RESOLUTION_UNIT, 2)),
             byte_order=self._bo,
         )
+        # Structural sanity (corrupt-file contract, tests/test_corrupt_inputs):
+        # a tiled page needs BOTH tile dims; offset/count tables come in pairs
+        # of equal length (otherwise region reads would index past one).
+        if (page.tile_width > 0) != (page.tile_height > 0):
+            raise ValueError(f"{self.path}: IFD at {offset} has tile width "
+                             f"{page.tile_width} x length {page.tile_height}")
+        if page.is_tiled and len(page.tile_offsets) != len(page.tile_counts):
+            raise ValueError(
+                f"{self.path}: tile offset/count tables disagree "
+                f"({len(page.tile_offsets)} vs {len(page.tile_counts)})")
+        if (not page.is_tiled and page.strip_offsets
+                and len(page.strip_offsets) != len(page.strip_counts)):
+            raise ValueError(
+                f"{self.path}: strip offset/count tables disagree "
+                f"({len(page.strip_offsets)} vs {len(page.strip_counts)})")
+        if not 1 <= page.samples <= 64:
+            raise ValueError(
+                f"{self.path}: implausible SamplesPerPixel {page.samples}")
         page.tag_ids = frozenset(tags) | frozenset(lazy)  # format sniffing
         page.lazy_tags = lazy
         if TAG_XMP in tags:
@@ -400,6 +458,19 @@ class TiffReader:
     # -- decoding ---------------------------------------------------------
 
     def _decode_block(self, page: TiffPage, data: bytes, block_h: int, block_w: int) -> np.ndarray:
+        try:
+            return self._decode_block_impl(page, data, block_h, block_w)
+        except (ValueError, OSError):
+            raise
+        except Exception as e:
+            # Decoder boundary for untrusted bytes (same contract as the
+            # IFD parser): zlib.error, PIL decode errors, reshape failures
+            # on corrupt payloads all surface as ValueError.
+            raise ValueError(
+                f"{self.path}: corrupt block payload "
+                f"(compression {page.compression}): {e!r}") from e
+
+    def _decode_block_impl(self, page: TiffPage, data: bytes, block_h: int, block_w: int) -> np.ndarray:
         comp = page.compression
         if comp == COMPRESSION_JPEG:
             stream = data
@@ -452,15 +523,19 @@ class TiffReader:
         if page.photometric == PHOTOMETRIC_YCBCR:
             raise ValueError(
                 "YCbCr without JPEG compression is not supported")
+        dtype = page.dtype
+        # Cap decompression at the size the block geometry implies: deflate
+        # expands ~1000x and LZW ~2700x, so without a bound a KB-sized
+        # corrupt block could balloon to GBs (tests/test_corrupt_inputs.py).
+        expected = block_h * block_w * page.samples * dtype.itemsize
         if comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
-            raw = zlib.decompress(data)
+            raw = zlib.decompressobj().decompress(data, expected)
         elif comp == COMPRESSION_LZW:
-            raw = lzw_decode(data)
+            raw = lzw_decode(data, max_out=expected)
         elif comp == COMPRESSION_NONE:
             raw = data
         else:
             raise ValueError(f"unsupported TIFF compression {comp}")
-        dtype = page.dtype
         arr = np.frombuffer(raw, dtype=dtype, count=block_h * block_w * page.samples)
         arr = arr.reshape(block_h, block_w, page.samples)
         if page.predictor == 2:
@@ -486,6 +561,10 @@ class TiffReader:
                 self._tile_cache.move_to_end(key)
                 return cached
         page = self.pages[level]
+        if idx >= len(page.tile_offsets):
+            raise ValueError(
+                f"{self.path}: tile {idx} outside the level-{level} tile "
+                f"table ({len(page.tile_offsets)} entries; corrupt file?)")
         if not page.tile_offsets[idx] or not page.tile_counts[idx]:
             # Sparse tile (Philips TIFF drops background tiles: offset and
             # byte count 0); render as the format's background color.
@@ -538,6 +617,11 @@ class TiffReader:
         else:
             rps = page.rows_per_strip or page.height
             for s in range(y0 // rps, (y1 - 1) // rps + 1):
+                if s >= len(page.strip_offsets):
+                    raise ValueError(
+                        f"{self.path}: strip {s} outside the level-{level} "
+                        f"strip table ({len(page.strip_offsets)} entries; "
+                        "corrupt file?)")
                 sh = min(rps, page.height - s * rps)
                 data = self._pread(page.strip_offsets[s], page.strip_counts[s])
                 strip = self._decode_block(page, data, sh, page.width)

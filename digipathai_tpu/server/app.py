@@ -207,7 +207,10 @@ def create_app(config: Optional[ServerConfig] = None,
     def _get_dz(path: str) -> DeepZoomGenerator:
         try:
             return cache.get(_resolve(path))
-        except ValueError:
+        except (ValueError, OSError):
+            # the readers' full corrupt-file contract (io/slide.py:380,
+            # tests/test_corrupt_inputs.py): a truncated slide raises
+            # OSError and must 404 like any other unreadable file, not 500
             abort(404, f"unreadable slide: {path}")
 
     @app.route(r"/", methods=("GET",))
