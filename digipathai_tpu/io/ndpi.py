@@ -60,6 +60,7 @@ class _JpegInfo:
 
     def __init__(self):
         self.rst_offsets: Optional[np.ndarray] = None
+        self.sof_pos = -1  # sentinel: no SOF seen yet (corrupt-file guard)
 
 
 def _be16(b: bytes, off: int = 0) -> int:
@@ -79,16 +80,22 @@ def parse_jpeg_header(head: bytes, stream_off: int) -> _JpegInfo:
             raise ValueError(f"bad JPEG marker sync at {pos}")
         marker = head[pos + 1]
         if marker == 0xDA:  # SOS: entropy data follows the segment
+            if info.sof_pos < 0:
+                # mcu_w/h, width/height would be unset (AttributeError on
+                # __slots__) — keep the reader contract on corrupt streams
+                raise ValueError("JPEG stream has SOS before any SOF frame")
             seglen = _be16(head, pos + 2)
             info.entropy_start = pos + 2 + seglen
             info.header = bytes(head[:info.entropy_start])
             return info
         seglen = _be16(head, pos + 2)
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            ncomp = head[pos + 9] if pos + 9 < len(head) else 0
+            if pos + 10 + 3 * ncomp > len(head):
+                raise ValueError("truncated JPEG SOF segment")
             info.sof_pos = pos
             info.height = _be16(head, pos + 5)
             info.width = _be16(head, pos + 7)
-            ncomp = head[pos + 9]
             hmax = vmax = 1
             for c in range(ncomp):
                 hv = head[pos + 10 + 3 * c + 1]
@@ -253,6 +260,11 @@ class NdpiReader:
         spr = info.segs_per_row
         seg0 = mcu_row0 * spr
         seg1 = mcu_row1 * spr
+        if seg0 > 0 and seg0 - 1 >= len(rsts):
+            raise ValueError(
+                f"{self._r.path}: restart index has {len(rsts)} markers but "
+                f"MCU row {mcu_row0} needs segment {seg0} (corrupt "
+                "McuStarts table or entropy stream)")
         start = info.entropy_start if seg0 == 0 else int(rsts[seg0 - 1]) + 2
         end = int(rsts[seg1 - 1]) if seg1 - 1 < len(rsts) else info.stream_len
         rows_px = min(info.height - mcu_row0 * info.mcu_h,

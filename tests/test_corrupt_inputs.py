@@ -311,6 +311,58 @@ def test_sakura_garbage_db_detects_none(tmp_path):
     assert Slide.detect_format(str(p)) is None
 
 
+def test_ndpi_jpeg_header_guards():
+    from digipathai_tpu.io.ndpi import parse_jpeg_header
+
+    # SOS before any SOF: pre-guard this parsed "fine" and later blew up
+    # with AttributeError on the unset __slots__ field
+    sos_only = b"\xff\xd8" + b"\xff\xda\x00\x04\x01\x00" + b"\x00" * 8
+    with pytest.raises(ALLOWED):
+        parse_jpeg_header(sos_only, 0)
+    # SOF whose component table runs past the buffer: pre-guard IndexError
+    trunc_sof = (b"\xff\xd8" + b"\xff\xc0\x00\x11"
+                 + b"\x08\x00\x40\x00\x40\x03")
+    with pytest.raises(ALLOWED):
+        parse_jpeg_header(trunc_sof, 0)
+
+
+def test_ndpi_mutations_keep_contract(tmp_path):
+    """NDPI adds first-party JPEG header parsing + restart-marker surgery on
+    top of the TIFF layer; mutations must stay inside the reader contract
+    (no AttributeError from a SOF-less stream, no IndexError from a short
+    restart index or truncated SOF)."""
+    from tests.fixtures import make_ndpi_slide
+
+    clean = tmp_path / "clean.ndpi"
+    make_ndpi_slide(str(clean))
+    data = Path(clean).read_bytes()
+
+    def drive(p):
+        try:
+            s = Slide(str(p))
+            try:
+                region = s.read_region((0, 0), 0, (64, 64))
+                assert region.shape[:2] == (64, 64)
+            finally:
+                s.close()
+            return True
+        except ALLOWED:
+            return False
+
+    assert drive(clean)  # non-vacuous
+    for size in (64, len(data) // 4, len(data) // 2, len(data) - 16):
+        q = tmp_path / "trunc.ndpi"
+        q.write_bytes(data[:size])
+        drive(q)
+        Slide.detect_format(str(q))  # must never raise
+    for off in range(0, 4096, 29):  # JPEG/TIFF header region
+        q = tmp_path / "flip.ndpi"
+        mutated = bytearray(data)
+        mutated[off] ^= 0xFF
+        q.write_bytes(mutated)
+        drive(q)
+
+
 # --- server surface -----------------------------------------------------------
 
 
