@@ -111,6 +111,11 @@ class _JpegColumn:
         rsts = self._rst_index()
         spr = self.segs_per_row
         seg0, seg1 = mcu_row0 * spr, mcu_row1 * spr
+        if seg0 > 0 and seg0 - 1 >= len(rsts):
+            raise ValueError(
+                f"{self.path}: restart index has {len(rsts)} markers but "
+                f"MCU row {mcu_row0} needs segment {seg0} (corrupt entropy "
+                "stream)")  # same guard as io/ndpi.py _decode_rows
         start = (self.info.entropy_start if seg0 == 0
                  else int(rsts[seg0 - 1]) + 2)
         end = (int(rsts[seg1 - 1]) if seg1 - 1 < len(rsts)
@@ -137,6 +142,9 @@ class _NgrFile:
         self.width, self.height, self.col_width = struct.unpack_from(
             "<iii", head, 4)
         (self.data_off,) = struct.unpack_from("<i", head, 24)
+        if self.width <= 0 or self.height <= 0 or self.data_off < 0:
+            raise ValueError(f"{path}: invalid NGR geometry "
+                             f"{self.width}x{self.height}@{self.data_off}")
         if self.col_width <= 0 or self.width % self.col_width:
             raise ValueError(f"{path}: column width {self.col_width} does "
                              f"not divide width {self.width}")
@@ -200,6 +208,8 @@ class VmsReader:
         rows = int(sec.get("NoJpegRows", "1") or 1)
         if rows != 1:
             raise ValueError("multi-row VMS grids are not supported")
+        if cols < 1:
+            raise ValueError(f"{path}: invalid NoJpegColumns {cols}")
         self._cols: List = []
         for c in range(cols):
             key = "ImageFile" if c == 0 else f"ImageFile({c})"

@@ -160,6 +160,16 @@ class MiraxReader:
     # -- index ------------------------------------------------------------
 
     def _parse_index(self, path: str):
+        try:
+            return self._parse_index_impl(path)
+        except (ValueError, OSError):
+            raise
+        except Exception as e:
+            # binary-parser boundary for untrusted bytes (struct.error from
+            # corrupt offsets, etc.) — same contract as tiff_py._parse
+            raise ValueError(f"{path}: corrupt Index.dat: {e!r}") from e
+
+    def _parse_index_impl(self, path: str):
         with open(path, "rb") as f:
             data = f.read()
         pos = 5 + len(self.slide_id.encode())  # version + slide id
@@ -170,7 +180,14 @@ class MiraxReader:
                 "<i", data, hier_root + 4 * (self._hier_base + j))
             across = max(1, -(-self.nx // (1 << j)))
             level: Dict[Tuple[int, int], Tuple[int, int, int]] = {}
+            seen_ptrs = set()
             while ptr:
+                if ptr in seen_ptrs:
+                    # a corrupt next-pointer forming a cycle must not hang
+                    # the open (tests/test_corrupt_inputs.py)
+                    raise ValueError(
+                        f"{path}: cyclic page list in Index.dat at {ptr}")
+                seen_ptrs.add(ptr)
                 count, nxt = struct.unpack_from("<ii", data, ptr)
                 for r in range(count):
                     img, off, ln, fno = struct.unpack_from(
@@ -186,6 +203,10 @@ class MiraxReader:
         from PIL import Image
 
         fno, off, ln = rec
+        if not 0 <= fno < len(self.data_files):
+            raise ValueError(
+                f"{self.path}: tile record references data file {fno} of "
+                f"{len(self.data_files)} (corrupt Index.dat)")
         fd = self._fd.get(fno)
         if fd is None:
             with self._fd_lock:
@@ -193,6 +214,12 @@ class MiraxReader:
                 if fd is None:
                     fd = self._fd[fno] = os.open(self.data_files[fno],
                                                  os.O_RDONLY)
+        if ln < 0 or off < 0 or off + ln > os.fstat(fd).st_size:
+            # bound the read by the data file BEFORE os.pread allocates the
+            # claimed length (same contract as tiff_py._pread)
+            raise ValueError(
+                f"{self.path}: tile record [{off}, {off + ln}) outside data "
+                f"file {fno} (corrupt Index.dat)")
         img = Image.open(BytesIO(os.pread(fd, ln, off)))
         return np.asarray(img.convert("RGB"), np.uint8)
 

@@ -85,6 +85,21 @@ def leica_layout(pages) -> Tuple[List[int], Dict[str, int], dict]:
     present (fluorescence stacks are out of scope, as in the reference's
     brightfield pipeline).
     """
+    try:
+        return _leica_layout(pages)
+    except (ValueError, OSError):
+        raise
+    except Exception as e:
+        # boundary for untrusted metadata: sniff_vendor classifies "leica"
+        # by substring only, so the XML here can be arbitrarily malformed —
+        # ElementTree.ParseError (a SyntaxError subclass), StopIteration
+        # from a missing element, TypeError from a missing attribute must
+        # all surface as the documented reader contract
+        # (tests/test_corrupt_inputs.py)
+        raise ValueError(f"corrupt Leica SCN metadata: {e!r}") from e
+
+
+def _leica_layout(pages) -> Tuple[List[int], Dict[str, int], dict]:
     root = ElementTree.fromstring(pages[0].description)
     coll = next(e for e in root if _local(e.tag) == "collection")
     csx = int(coll.get("sizeX", 0) or 0)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import glob
 import os
+import struct
 import threading
 from collections import OrderedDict
 from dataclasses import dataclass, field
@@ -207,7 +208,7 @@ def create_app(config: Optional[ServerConfig] = None,
     def _get_dz(path: str) -> DeepZoomGenerator:
         try:
             return cache.get(_resolve(path))
-        except (ValueError, OSError):
+        except (ValueError, OSError, struct.error):
             # the readers' full corrupt-file contract (io/slide.py:380,
             # tests/test_corrupt_inputs.py): a truncated slide raises
             # OSError and must 404 like any other unreadable file, not 500

@@ -363,6 +363,95 @@ def test_ndpi_mutations_keep_contract(tmp_path):
         drive(q)
 
 
+def test_leica_malformed_scn_xml_is_valueerror(tmp_path):
+    """sniff_vendor classifies 'leica' by substring, so the SCN XML reaching
+    leica_layout can be arbitrarily broken; ParseError/StopIteration/
+    TypeError must all surface as ValueError."""
+    from tests.fixtures import make_scn_slide
+
+    scn = tmp_path / "slide.scn"
+    make_scn_slide(str(scn))
+    good = Path(scn).read_bytes()
+    marker = b"<scn"
+    pos = good.find(marker)
+    assert pos > 0
+    for mutation in (
+        good.replace(b"<collection", b"<collection <<", 1),  # ParseError
+        good.replace(b"collection", b"kollection"),          # missing element
+        good.replace(b'ifd="', b'xfd="'),                    # missing attr
+    ):
+        bad = tmp_path / "bad.scn"
+        bad.write_bytes(mutation)
+        fmt = Slide.detect_format(str(bad))  # must never raise
+        if fmt is None:
+            continue
+        try:
+            s = Slide(str(bad))
+            s.close()
+        except ALLOWED:
+            pass
+
+
+def test_mirax_index_mutations_keep_contract(tmp_path):
+    """Index.dat is a first-party binary parser: truncations and bit flips
+    must stay inside the reader contract (struct.error is allowed; a cyclic
+    next-pointer must raise, not hang)."""
+    from tests.fixtures import make_mirax_slide
+
+    mrxs = tmp_path / "slide.mrxs"
+    make_mirax_slide(str(mrxs))
+    idx = tmp_path / "slide" / "Index.dat"
+    data = Path(idx).read_bytes()
+
+    def drive():
+        try:
+            s = Slide(str(mrxs))
+            try:
+                region = s.read_region((0, 0), 0, (64, 64))
+                assert region.shape[:2] == (64, 64)
+            finally:
+                s.close()
+            return True
+        except ALLOWED:
+            return False
+
+    assert drive()  # non-vacuous
+    for size in (0, 8, len(data) // 2):
+        idx.write_bytes(data[:size])
+        drive()
+    for off in range(0, min(512, len(data)), 11):
+        mutated = bytearray(data)
+        mutated[off] ^= 0xFF
+        idx.write_bytes(mutated)
+        drive()
+    idx.write_bytes(data)
+    assert drive()  # restored file still reads
+
+
+def test_vms_payload_mutations_keep_contract(tmp_path):
+    from tests.fixtures import make_vms_slide
+
+    vms = tmp_path / "slide.vms"
+    make_vms_slide(str(vms))
+    # corrupt every payload file the index references, one at a time
+    payloads = [p for p in tmp_path.iterdir() if p.suffix != ".vms"]
+    assert payloads
+    for target in payloads:
+        blob = target.read_bytes()
+        try:
+            target.write_bytes(blob[: max(4, len(blob) // 3)])
+            try:
+                s = Slide(str(vms))
+                try:
+                    s.read_region((0, 0), 0, (64, 64))
+                finally:
+                    s.close()
+            except ALLOWED:
+                pass
+        finally:
+            target.write_bytes(blob)
+
+
 # --- server surface -----------------------------------------------------------
 
 
@@ -381,6 +470,14 @@ def test_server_corrupt_slide_404s_and_listing_survives(tmp_path):
     make_synthetic_slide(str(good), 256, 192, seed=7)
     corrupt = tmp_path / "liver-bad-1.tiff"
     corrupt.write_bytes(Path(good).read_bytes()[:900])  # parses, reads fail
+    # MRXS with a clobbered binary index: opening raises struct.error
+    # (allowed by the reader contract) — the server must 404 it, not 500
+    # (regression: _get_dz originally caught only ValueError/OSError)
+    from tests.fixtures import make_mirax_slide
+
+    make_mirax_slide(str(tmp_path / "liver-mrx-1.mrxs"))
+    with open(tmp_path / "liver-mrx-1" / "Index.dat", "r+b") as f:
+        f.write(b"\xff" * 32)
 
     app = create_app(ServerConfig(slide_dir=str(tmp_path), viewer_only=True))
     httpd = serve(app, host="127.0.0.1", port=0, quiet=True)
@@ -398,10 +495,12 @@ def test_server_corrupt_slide_404s_and_listing_survives(tmp_path):
         assert status == 200 and b"liver-good-1.tiff" in body
         status, _ = get("/liver-good-1.tiff.dzi")
         assert status == 200
-        # the corrupt slide: any route must answer 404, never 500
+        # the corrupt slides: any route must answer 404, never 500
         for route in ("/liver-bad-1.tiff.dzi",
                       "/liver-bad-1.tiff_files/0/0_0.jpeg",
-                      "/liver-bad-1.tiff"):
+                      "/liver-bad-1.tiff",
+                      "/liver-mrx-1.mrxs.dzi",
+                      "/liver-mrx-1.mrxs_files/0/0_0.jpeg"):
             status, _ = get(route)
             assert status == 404, f"{route} -> {status}"
     finally:
