@@ -61,6 +61,11 @@ class SakuraReader:
         meta = self._scan_metadata()
         self.width, self.height = meta["width"], meta["height"]
         self.tile_w, self.tile_h = meta["tile_w"], meta["tile_h"]
+        if self.tile_w <= 0 or self.tile_h <= 0:
+            # corrupt scan row (0 already defaults to 256; negatives would
+            # corrupt the tile-grid math) — reader contract: ValueError
+            raise ValueError(f"{self.path}: invalid Sakura tile size "
+                             f"{self.tile_w}x{self.tile_h}")
 
         # discover zoom factors + occupied tiles from the id namespace
         self._tiles: Dict[int, set] = {}
