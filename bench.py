@@ -165,9 +165,12 @@ def main():
     iters = 3 if quick else 10
     t0 = time.time()
     for i in range(iters):
-        if dp > 1 and i < iters - 1:
-            acc = sstep(variables, acc, *sharded)  # fetch only at the end:
-        else:                                      # programs run in order
+        if i < iters - 1:  # fetch only at the end: programs run in order,
+            if dp > 1:     # and each relay fetch is a full round-trip
+                acc = sstep(variables, acc, *sharded)
+            else:
+                acc, _ = step(variables, acc, patches, offsets, valid)
+        else:
             _ = step_fetch()
     dt = (time.time() - t0) / iters
     pps = batch / dt  # per-chip: batch is the per-chip shard size

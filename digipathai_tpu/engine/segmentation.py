@@ -150,9 +150,19 @@ def _resolve_quant(quantized, key: str):
     return quantized
 
 
-def _quant_tag(quantized):
+def _quant_tag(quantized, keys=None):
     """Deterministic resume-key tag for the quantized knob (dict order and
-    spec-string spelling must not change the cfg_key)."""
+    spec-string spelling must not change the cfg_key).
+
+    With ``keys`` (the canonical model keys actually in this run) the tag
+    covers only those models' EFFECTIVE modes: a spec that names a model
+    absent from the run leaves the maps' contents unchanged, so it must not
+    invalidate the resume state (and a uniform mode hashes the same as the
+    equivalent per-model dict)."""
+    if keys is not None:
+        return tuple(sorted(
+            (k, q) for k in keys
+            if (q := _resolve_quant(quantized, k))))
     if isinstance(quantized, str):
         quantized = _parse_quant_spec(quantized)
     if isinstance(quantized, dict):
@@ -371,7 +381,7 @@ def getSegmentation(img_path,
         abs_path, X, Y, patch_size, stride_size, global_batch, supertile,
         tuple(model_names), tuple(tta_full), faithful_tta,
         inference_mode, mask_predictions, bool(crf),
-        _quant_tag(quantized))).encode()
+        _quant_tag(quantized, keys=model_kws))).encode()
     ).hexdigest()
     state_path = mdir / f"{stem}-stitch.json"
     completed: set = set()

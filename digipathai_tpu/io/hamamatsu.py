@@ -211,17 +211,27 @@ class VmsReader:
         if cols < 1:
             raise ValueError(f"{path}: invalid NoJpegColumns {cols}")
         self._cols: List = []
-        for c in range(cols):
-            key = "ImageFile" if c == 0 else f"ImageFile({c})"
-            if key not in sec and c == 0:
-                key = "ImageFile(0)"
-            p = resolve(key)
-            self._cols.append(_NgrFile(p) if self.uncompressed
-                              else _JpegColumn(p))
-        self._xs = np.cumsum([0] + [c.width for c in self._cols])
-        w0, h0 = int(self._xs[-1]), self._cols[0].height
-        if any(c.height != h0 for c in self._cols):
-            raise ValueError("VMS column heights disagree")
+        try:
+            for c in range(cols):
+                key = "ImageFile" if c == 0 else f"ImageFile({c})"
+                if key not in sec and c == 0:
+                    key = "ImageFile(0)"
+                p = resolve(key)
+                self._cols.append(_NgrFile(p) if self.uncompressed
+                                  else _JpegColumn(p))
+            self._xs = np.cumsum([0] + [c.width for c in self._cols])
+            w0, h0 = int(self._xs[-1]), self._cols[0].height
+            if any(c.height != h0 for c in self._cols):
+                raise ValueError("VMS column heights disagree")
+        except BaseException:
+            # a corrupt-index reject must not leak the columns already
+            # opened: the server retries Slide(path) per tile request
+            for col in self._cols:
+                try:
+                    col.close()
+                except Exception:
+                    pass
+            raise
 
         self.pages: List[_VmsPage] = [_VmsPage(w0, h0)]
         self._assoc_files = {}

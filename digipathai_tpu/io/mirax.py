@@ -127,6 +127,7 @@ class MiraxReader:
         # Slide across num_workers threads (loader.py's thread-safety
         # contract), so per-call seek+read on a shared handle would race
         self._fd: Dict[int, int] = {}
+        self._fsize: Dict[int, int] = {}  # data-file size, cached at open
         self._fd_lock = threading.Lock()
 
         # geometry: level-0 canvas spans the camera grid; each level's
@@ -212,9 +213,12 @@ class MiraxReader:
             with self._fd_lock:
                 fd = self._fd.get(fno)
                 if fd is None:
-                    fd = self._fd[fno] = os.open(self.data_files[fno],
-                                                 os.O_RDONLY)
-        if ln < 0 or off < 0 or off + ln > os.fstat(fd).st_size:
+                    fd = os.open(self.data_files[fno], os.O_RDONLY)
+                    # cache the size, then publish the fd (readers on the
+                    # lock-free fast path see _fsize only after _fd)
+                    self._fsize[fno] = os.fstat(fd).st_size
+                    self._fd[fno] = fd
+        if ln < 0 or off < 0 or off + ln > self._fsize[fno]:
             # bound the read by the data file BEFORE os.pread allocates the
             # claimed length (same contract as tiff_py._pread)
             raise ValueError(
@@ -261,6 +265,7 @@ class MiraxReader:
             for fd in self._fd.values():
                 os.close(fd)
             self._fd.clear()
+            self._fsize.clear()
 
 
 def detect_mirax(path: str) -> Optional[str]:

@@ -103,6 +103,8 @@ def parse_jpeg_header(head: bytes, stream_off: int) -> _JpegInfo:
                 vmax = max(vmax, hv & 0xF)
             info.mcu_w, info.mcu_h = 8 * hmax, 8 * vmax
         elif marker == 0xDD:  # DRI
+            if pos + 6 > len(head):  # loop guard only covers pos+3
+                raise ValueError("truncated JPEG DRI segment")
             info.dri = _be16(head, pos + 4)
         pos += 2 + seglen
     raise ValueError("no SOS marker found in JPEG header")

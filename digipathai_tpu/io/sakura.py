@@ -57,6 +57,16 @@ class SakuraReader:
         # one connection shared by the engine's loader threads: serialize
         # blob fetches (JPEG decode — the expensive part — runs unlocked)
         self._db_lock = threading.Lock()
+        try:
+            self._parse_schema()
+        except BaseException:
+            # a corrupt-file reject must not leak the sqlite connection:
+            # the server retries Slide(path) on every tile request for a
+            # bad slide, and each leaked handle counts against the fd limit
+            self._db.close()
+            raise
+
+    def _parse_schema(self) -> None:
         self._table = self._tile_table()
         meta = self._scan_metadata()
         self.width, self.height = meta["width"], meta["height"]

@@ -395,7 +395,7 @@ def read_whole_slide_image(image_path):
     try:
         return Image.open(image_path)
     except Exception:
-        s = Slide(image_path)
-        lvl = s.level_count - 1
-        return Image.fromarray(
-            np.asarray(s.read_region((0, 0), lvl, s.level_dimensions[lvl])))
+        with Slide(image_path) as s:  # read_region copies; don't leak the fd
+            lvl = s.level_count - 1
+            return Image.fromarray(np.asarray(
+                s.read_region((0, 0), lvl, s.level_dimensions[lvl])))

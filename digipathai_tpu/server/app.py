@@ -281,8 +281,8 @@ def create_app(config: Optional[ServerConfig] = None,
 
     @app.route(r"/segment", methods=("POST",))
     def segment(req):
-        status["tissuetype"] = req.form.get("tissuetype", "Colon")
         overrides = _request_overrides(req)  # validate BEFORE mutating state
+        status["tissuetype"] = req.form.get("tissuetype", "Colon")
         if cfg.viewer_only:
             status["status"] = True  # reference: status <- VIEWER_ONLY flag
         else:

@@ -242,6 +242,17 @@ def test_per_model_quant_spec_resolution():
         _quant_tag("deeplabv3:static,dense:dynamic")
     assert _quant_tag("inception:off") == _quant_tag({})
 
+    # scoped to the run's models: a spec naming a model absent from the run
+    # must not change the cfg_key (the maps' contents are identical), and a
+    # uniform mode must hash like the equivalent per-model dict
+    run = ("dense", "inception")
+    assert _quant_tag("deeplabv3:static", keys=run) == \
+        _quant_tag(False, keys=run) == ()
+    assert _quant_tag("static", keys=run) == \
+        _quant_tag({"dense": "static", "inception": "static"}, keys=run)
+    assert _quant_tag("deeplabv3:static", keys=("deeplabv3",)) == \
+        (("deeplabv3", "static"),)
+
 
 def test_engine_per_model_quant_gates_calibration(tmp_path, monkeypatch):
     """With a per-model spec, only the named models are calibrated: a spec
