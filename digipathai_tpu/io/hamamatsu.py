@@ -62,9 +62,15 @@ class _JpegColumn:
     def __init__(self, path: str):
         self.path = path
         self._fd = os.open(path, os.O_RDONLY)
-        self.stream_len = os.fstat(self._fd).st_size
-        head = os.pread(self._fd, min(65536, self.stream_len), 0)
-        self.info = parse_jpeg_header(head, 0)
+        try:
+            self.stream_len = os.fstat(self._fd).st_size
+            head = os.pread(self._fd, min(65536, self.stream_len), 0)
+            self.info = parse_jpeg_header(head, 0)
+        except BaseException:
+            # a corrupt-header reject must not leak the fd just opened
+            # (VmsReader's cleanup only sees columns already appended)
+            self.close()
+            raise
         self.width = self.info.width
         self.height = self.info.height
         mcus_per_row = -(-self.width // self.info.mcu_w)
@@ -136,18 +142,23 @@ class _NgrFile:
 
     def __init__(self, path: str):
         self._fd = os.open(path, os.O_RDONLY)
-        head = os.pread(self._fd, 28, 0)
-        if head[:2] != b"GN":
-            raise ValueError(f"{path}: not an NGR file")
-        self.width, self.height, self.col_width = struct.unpack_from(
-            "<iii", head, 4)
-        (self.data_off,) = struct.unpack_from("<i", head, 24)
-        if self.width <= 0 or self.height <= 0 or self.data_off < 0:
-            raise ValueError(f"{path}: invalid NGR geometry "
-                             f"{self.width}x{self.height}@{self.data_off}")
-        if self.col_width <= 0 or self.width % self.col_width:
-            raise ValueError(f"{path}: column width {self.col_width} does "
-                             f"not divide width {self.width}")
+        try:
+            head = os.pread(self._fd, 28, 0)
+            if head[:2] != b"GN":
+                raise ValueError(f"{path}: not an NGR file")
+            self.width, self.height, self.col_width = struct.unpack_from(
+                "<iii", head, 4)
+            (self.data_off,) = struct.unpack_from("<i", head, 24)
+            if self.width <= 0 or self.height <= 0 or self.data_off < 0:
+                raise ValueError(f"{path}: invalid NGR geometry "
+                                 f"{self.width}x{self.height}@{self.data_off}")
+            if self.col_width <= 0 or self.width % self.col_width:
+                raise ValueError(f"{path}: column width {self.col_width} "
+                                 f"does not divide width {self.width}")
+        except BaseException:
+            # a corrupt-header reject must not leak the fd just opened
+            self.close()
+            raise
 
     def close(self):
         if self._fd is not None:

@@ -533,3 +533,88 @@ def test_native_backend_rejects_corrupt_files_cleanly(tmp_path, small_slide):
                 r.close()
         except ALLOWED:
             pass
+
+
+# --- fd-leak regression on open rejects -------------------------------------
+# The server retries Slide(path) on every tile request for a bad slide, so a
+# reader that raises at open while holding a handle (sqlite connection,
+# per-column JPEG fds) exhausts the fd limit over time.  These pin the
+# cleanup-on-reject behavior of the readers' __init__ guards.
+
+
+def _open_fd_count() -> int:
+    import os
+
+    return len(os.listdir("/proc/self/fd"))
+
+
+def test_sakura_open_reject_does_not_leak_fds(tmp_path):
+    import sqlite3
+
+    p = tmp_path / "slide.svslide"
+    db = sqlite3.connect(str(p))
+    db.execute("CREATE TABLE SVSlideDataXPO (m_labelScan, m_overviewScan)")
+    db.execute("CREATE TABLE DataManagerSQLiteConfigXPO (TableName)")
+    db.execute("INSERT INTO DataManagerSQLiteConfigXPO VALUES ('Gone')")
+    db.commit()
+    db.close()
+    before = _open_fd_count()
+    for _ in range(16):
+        with pytest.raises(ALLOWED):
+            Slide(str(p))
+    # unrelated runtime threads may open a handful of fds concurrently;
+    # a leak here would add exactly one per iteration
+    assert _open_fd_count() - before < 8
+
+
+def test_vms_open_reject_does_not_leak_fds(tmp_path):
+    from tests.fixtures import make_vms_slide
+
+    vms = tmp_path / "slide.vms"
+    make_vms_slide(str(vms), width=256, height=128, columns=2)
+    # drop the second column's index entry but keep NoJpegColumns=2: column 0
+    # opens its JPEG before resolve(ImageFile(1)) rejects the index
+    lines = [ln for ln in vms.read_text().splitlines()
+             if not ln.startswith("ImageFile(1)=")]
+    vms.write_text("\n".join(lines) + "\n")
+    before = _open_fd_count()
+    for _ in range(16):
+        with pytest.raises(ALLOWED):
+            Slide(str(vms))
+    assert _open_fd_count() - before < 8
+
+
+def test_vms_corrupt_column_payload_does_not_leak_fds(tmp_path):
+    # The column file itself is garbage: _JpegColumn raises AFTER os.open
+    # (parse_jpeg_header), so the fd must be closed by the column's own
+    # guard — VmsReader's cleanup only sees columns already appended.
+    from tests.fixtures import make_vms_slide
+
+    vms = tmp_path / "slide.vms"
+    make_vms_slide(str(vms), width=256, height=128, columns=2)
+    (tmp_path / "slide_c0.jpg").write_bytes(b"\xff\xd8" + bytes(range(64)))
+    before = _open_fd_count()
+    for _ in range(16):
+        with pytest.raises(ALLOWED):
+            Slide(str(vms))
+    assert _open_fd_count() - before < 8
+
+
+def test_vmu_bad_ngr_magic_does_not_leak_fds(tmp_path):
+    from tests.fixtures import make_vmu_slide
+
+    vmu = tmp_path / "slide.vmu"
+    make_vmu_slide(str(vmu), width=128, height=64)
+    # find the NGR image file the index names and corrupt its magic
+    import configparser
+
+    cp = configparser.ConfigParser(strict=False)
+    cp.read(str(vmu), encoding="utf-8")
+    sec = cp[cp.sections()[0]]
+    ngr = tmp_path / sec["ImageFile"]
+    ngr.write_bytes(b"XX" + ngr.read_bytes()[2:])
+    before = _open_fd_count()
+    for _ in range(16):
+        with pytest.raises(ALLOWED):
+            Slide(str(vmu))
+    assert _open_fd_count() - before < 8
